@@ -1,0 +1,579 @@
+"""Configuration schemas for avex-tpu.
+
+Pydantic-v2 models mirroring the reference config surface (field names and
+semantics follow ``/root/reference/avex/configs.py``) so that existing YAML
+configs keep working, while device/distribution fields are re-interpreted for
+TPU (JAX mesh) execution.
+
+Key reference anchors:
+  - TrainingParams          ≈ avex/configs.py:47
+  - NoiseAugment/Mixup      ≈ avex/configs.py:126-162
+  - AudioConfig             ≈ avex/configs.py:170
+  - ModelSpec               ≈ avex/configs.py:231
+  - ProbeConfig             ≈ avex/configs.py:380 (+ PROBE_CONFIGS presets :666)
+  - SchedulerConfig         ≈ avex/configs.py:718
+  - BaseCLIConfig           ≈ avex/configs.py:728-764 (YAML + CLI deep-merge)
+  - RunConfig               ≈ avex/configs.py:786
+  - ExperimentConfig        ≈ avex/configs.py:955
+  - EvaluateConfig          ≈ avex/configs.py:1212
+"""
+
+from __future__ import annotations
+
+import copy
+from pathlib import Path
+from typing import Any, Dict, List, Literal, Optional, Tuple, Union
+
+import yaml
+from pydantic import BaseModel, ConfigDict, Field, field_validator, model_validator
+
+
+# ---------------------------------------------------------------------------
+# Training
+# ---------------------------------------------------------------------------
+
+
+class TrainingParams(BaseModel):
+    """Optimization hyper-parameters for a training run (≈ configs.py:47)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    train_epochs: int = Field(..., ge=1, description="Number of training epochs")
+    lr: float = Field(..., gt=0, description="Peak learning rate")
+    batch_size: int = Field(..., ge=1, description="Global batch size")
+    optimizer: Literal["adamw", "adam", "adamw8bit"] = "adamw"
+    weight_decay: float = Field(0.0, ge=0)
+    adam_betas: Optional[Tuple[float, float]] = None
+    # On TPU, "amp" means compute in bfloat16 with fp32 params/frontend.
+    amp: bool = False
+    amp_dtype: Literal["bf16", "fp16"] = "bf16"
+    log_steps: int = Field(100, ge=1)
+    gradient_checkpointing: bool = Field(
+        False, description="Rematerialize transformer blocks (jax.checkpoint)"
+    )
+    gradient_clip_val: Optional[float] = Field(None, description="Global-norm gradient clip")
+    freeze_backbone_epochs: int = Field(
+        0,
+        ge=0,
+        description="Two-stage fine-tuning: freeze the backbone for the first N "
+        "epochs, then unfreeze at a reduced LR (≈ train.py:704-751)",
+    )
+    second_stage_lr: Optional[float] = Field(
+        None, description="LR for stage two; defaults to 0.1 * lr when None"
+    )
+    second_stage_warmup_steps: Optional[int] = None
+    skip_validation: bool = False
+    warmup_epochs: int = Field(0, ge=0)
+    scheduler_type: Literal["none", "cosine", "linear", "step"] = "none"
+
+
+class NoiseAugment(BaseModel):
+    """Additive noise augmentation from noise files (≈ configs.py:126)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    kind: Literal["noise"] = "noise"
+    noise_dirs: List[str]
+    snr_db_range: Tuple[float, float]
+    augmentation_prob: float = Field(..., ge=0, le=1)
+    mask_signal_prob: float = Field(0.0, ge=0, le=1)
+
+
+class MixupAugment(BaseModel):
+    """Batch-level mixup augmentation (≈ configs.py:147)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    kind: Literal["mixup"] = "mixup"
+    alpha: float = Field(..., gt=0)
+    n_mixup: int = Field(1, ge=1)
+    augmentation_prob: float = Field(..., ge=0, le=1)
+
+
+Augment = Union[NoiseAugment, MixupAugment]
+
+
+# ---------------------------------------------------------------------------
+# Audio
+# ---------------------------------------------------------------------------
+
+
+class AudioConfig(BaseModel):
+    """How raw audio is converted into the model input (≈ configs.py:170)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    sample_rate: int = 16000
+    n_fft: int = 2048
+    hop_length: Optional[int] = None
+    win_length: Optional[int] = None
+    window: Literal["hann", "hamming"] = "hann"
+    n_mels: int = 128
+    representation: Literal["spectrogram", "mel_spectrogram", "raw"] = "mel_spectrogram"
+    normalize: bool = True
+    target_length_seconds: Optional[float] = None
+    window_selection: Literal["random", "center"] = "random"
+    center: bool = True
+    extra_config: Optional[Dict[str, Any]] = None
+
+    @property
+    def target_length_samples(self) -> Optional[int]:
+        if self.target_length_seconds is None:
+            return None
+        return int(round(self.target_length_seconds * self.sample_rate))
+
+
+# ---------------------------------------------------------------------------
+# Model spec
+# ---------------------------------------------------------------------------
+
+
+class ModelSpec(BaseModel):
+    """Architecture + weights selector consumed by the model factory.
+
+    Field surface mirrors the reference ModelSpec (configs.py:231-305) so
+    packaged/official YAML specs parse unchanged. ``device`` is advisory on
+    TPU — placement is controlled by the active jax mesh.
+    """
+
+    model_config = ConfigDict(extra="forbid", protected_namespaces=())
+
+    name: str
+    pretrained: bool = True
+    device: str = "tpu"
+    audio_config: Optional[AudioConfig] = None
+
+    # CLIP/CLAP
+    text_model_name: Optional[str] = None
+    projection_dim: Optional[int] = None
+    temperature: Optional[float] = None
+
+    # EAT
+    eat_cfg: Optional[Dict[str, Any]] = None
+    pretraining_mode: Optional[bool] = None
+    handle_padding: Optional[bool] = None
+    fairseq_weights_path: Optional[str] = None
+    eat_norm_mean: Optional[float] = None
+    eat_norm_std: Optional[float] = None
+
+    # EfficientNet
+    efficientnet_variant: Literal["b0", "b1"] = "b0"
+
+    # BEATs
+    use_naturelm: Optional[bool] = None
+    fine_tuned: Optional[bool] = None
+    init_config: Optional[Dict[str, Any]] = None
+
+    # BirdNet
+    language: Optional[str] = None
+
+    # BirdMAE / HF-hosted models
+    model_id: Optional[str] = None
+
+    # Free-form escape hatch
+    extra_config: Optional[Dict[str, Any]] = None
+
+    # avex-tpu extension: numeric policy for the backbone compute.
+    compute_dtype: Literal["float32", "bfloat16"] = "float32"
+
+
+# ---------------------------------------------------------------------------
+# Probes
+# ---------------------------------------------------------------------------
+
+
+class ProbeConfig(BaseModel):
+    """Configuration for transfer-learning probe heads (≈ configs.py:380)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    probe_type: Literal["linear", "mlp", "lstm", "attention", "transformer"] = "linear"
+    aggregation: Literal["mean", "max", "cls_token", "none"] = "mean"
+    input_processing: Literal["flatten", "sequence", "pooled", "none"] = "flatten"
+    target_layers: List[Union[str, int]] = Field(default_factory=lambda: ["last_layer"])
+    freeze_backbone: bool = True
+
+    # MLP
+    hidden_dims: Optional[List[int]] = None
+    dropout_rate: float = Field(0.1, ge=0, le=1)
+    activation: Literal["relu", "gelu", "tanh", "swish"] = "relu"
+
+    # Attention / transformer
+    num_heads: Optional[int] = None
+    attention_dim: Optional[int] = None
+    num_layers: Optional[int] = None
+
+    # LSTM
+    lstm_hidden_size: Optional[int] = None
+    bidirectional: bool = False
+
+    # Sequence handling
+    max_sequence_length: Optional[int] = None
+    use_positional_encoding: bool = False
+    target_length: Optional[int] = None
+
+    online_training: Optional[bool] = None
+    extra_config: Optional[Dict[str, Any]] = None
+
+    @field_validator("target_layers", mode="before")
+    @classmethod
+    def _canonicalize_layers(cls, v: Any) -> Any:
+        # Pydantic can coerce bools to int (bool subclasses int); reject them
+        # so `target_layers: [true]` fails loudly (≈ configs.py:500-506).
+        if isinstance(v, list):
+            for item in v:
+                if isinstance(item, bool):
+                    raise ValueError("target_layers entries must be str or int, not bool")
+        return v
+
+
+#: Named probe presets (≈ configs.py:666-716).
+PROBE_CONFIGS: Dict[str, ProbeConfig] = {
+    "linear": ProbeConfig(probe_type="linear", aggregation="mean", input_processing="flatten"),
+    "mlp": ProbeConfig(
+        probe_type="mlp", aggregation="mean", input_processing="flatten", hidden_dims=[512, 256]
+    ),
+    "lstm": ProbeConfig(
+        probe_type="lstm",
+        aggregation="none",
+        input_processing="sequence",
+        lstm_hidden_size=256,
+        num_layers=1,
+    ),
+    "attention": ProbeConfig(
+        probe_type="attention",
+        aggregation="none",
+        input_processing="sequence",
+        num_heads=8,
+        num_layers=2,
+    ),
+    "transformer": ProbeConfig(
+        probe_type="transformer",
+        aggregation="none",
+        input_processing="sequence",
+        num_heads=8,
+        num_layers=2,
+        use_positional_encoding=True,
+    ),
+}
+
+
+# ---------------------------------------------------------------------------
+# Scheduler
+# ---------------------------------------------------------------------------
+
+
+class SchedulerConfig(BaseModel):
+    """LR schedule selector (≈ configs.py:718)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    name: Literal["cosine", "linear", "none"] = "none"
+    warmup_steps: int = Field(0, ge=0)
+    min_lr: float = Field(0.0, ge=0)
+
+
+# ---------------------------------------------------------------------------
+# Datasets (local replacement for the private esp_data dependency)
+# ---------------------------------------------------------------------------
+
+
+class DatasetConfig(BaseModel):
+    """A single dataset source.
+
+    The reference delegates to the private ``esp_data`` package; avex-tpu
+    ships a small local backend instead (``avex_tpu.data``) supporting:
+      - ``kind="hf"``: a HuggingFace ``datasets`` dataset (audio column)
+      - ``kind="local"``: a directory of audio files + a metadata csv/jsonl
+      - ``kind="synthetic"``: deterministic synthetic audio for tests/benches
+    """
+
+    model_config = ConfigDict(extra="allow")
+
+    name: str
+    kind: Literal["hf", "local", "synthetic"] = "local"
+    path: Optional[str] = None
+    split: Optional[str] = None
+    label_column: str = "label"
+    audio_column: str = "audio"
+    text_column: Optional[str] = None
+    sample_rate: int = 16000
+    audio_max_length_seconds: Optional[float] = None
+    # synthetic backend knobs
+    num_samples: int = 64
+    num_classes: int = 4
+    clip_seconds: float = 1.0
+    seed: int = 0
+    transformations: List[Dict[str, Any]] = Field(default_factory=list)
+
+
+class DatasetCollectionConfig(BaseModel):
+    """Train/val/test dataset lists + concat policy (≈ data/configs.py:22)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    train_datasets: List[DatasetConfig] = Field(default_factory=list)
+    val_datasets: List[DatasetConfig] = Field(default_factory=list)
+    test_datasets: List[DatasetConfig] = Field(default_factory=list)
+    concat_policy: Literal["hard", "overlap", "soft"] = "hard"
+    transformations: List[Dict[str, Any]] = Field(default_factory=list)
+
+
+class EvaluationSet(BaseModel):
+    """A named train/val/test triplet used by the eval harness (≈ data/configs.py:102)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    name: str
+    train: Optional[DatasetConfig] = None
+    val: Optional[DatasetConfig] = None
+    test: Optional[DatasetConfig] = None
+    metrics: List[str] = Field(default_factory=lambda: ["accuracy"])
+    retrieval_mode: Literal["test_vs_test", "train_vs_test"] = "test_vs_test"
+    multilabel: bool = False
+
+
+class BenchmarkEvaluationConfig(BaseModel):
+    """A benchmark = list of evaluation sets (≈ data/configs.py:144)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    name: str = "benchmark"
+    evaluation_sets: List[EvaluationSet] = Field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# YAML + CLI source merging
+# ---------------------------------------------------------------------------
+
+
+def deep_update(base: Dict[str, Any], patch: Dict[str, Any]) -> Dict[str, Any]:
+    """Recursively merge ``patch`` into ``base`` (patch wins); returns a new dict."""
+    out = copy.deepcopy(base)
+    for key, value in patch.items():
+        if key in out and isinstance(out[key], dict) and isinstance(value, dict):
+            out[key] = deep_update(out[key], value)
+        else:
+            out[key] = copy.deepcopy(value)
+    return out
+
+
+def _parse_cli_value(raw: str) -> Any:
+    """Parse a `key=value` CLI value with YAML semantics (numbers, bools, lists)."""
+    try:
+        return yaml.safe_load(raw)
+    except yaml.YAMLError:
+        return raw
+
+
+def _patch_to_nested(key: str, value: Any) -> Dict[str, Any]:
+    """Expand a dotted key like ``training_params.lr`` into a nested dict."""
+    parts = key.split(".")
+    node: Dict[str, Any] = {parts[-1]: value}
+    for part in reversed(parts[:-1]):
+        node = {part: node}
+    return node
+
+
+class BaseCLIConfig(BaseModel):
+    """Config loadable from a YAML file plus ``key=value`` CLI patches.
+
+    Mirrors ``BaseCLIConfig.from_sources`` (configs.py:733-764): the YAML
+    file is loaded first, then each CLI patch is deep-merged on top (CLI
+    wins). Dotted patch keys address nested fields.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    @classmethod
+    def from_sources(
+        cls,
+        yaml_path: Optional[Union[str, Path]] = None,
+        cli_patches: Optional[List[str]] = None,
+    ):
+        data: Dict[str, Any] = {}
+        if yaml_path is not None:
+            from avex_tpu.io import read_text
+
+            data = yaml.safe_load(read_text(str(yaml_path))) or {}
+        for patch in cli_patches or []:
+            if "=" not in patch:
+                raise ValueError(f"CLI patch must be key=value, got: {patch!r}")
+            key, _, raw = patch.partition("=")
+            data = deep_update(data, _patch_to_nested(key.strip(), _parse_cli_value(raw)))
+        return cls.model_validate(data)
+
+
+# ---------------------------------------------------------------------------
+# Run / experiment / evaluate configs
+# ---------------------------------------------------------------------------
+
+
+class ClusteringEvalConfig(BaseModel):
+    """During-training clustering evaluation (≈ configs.py:767)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    enabled: bool = False
+    frequency: int = Field(5, ge=1)
+    layers: str = "last_layer"
+    use_validation_set: bool = True
+    max_samples: Optional[int] = Field(None, ge=100)
+    run_before_training: bool = False
+
+
+class MeshConfig(BaseModel):
+    """TPU device-mesh layout (avex-tpu extension; replaces nccl DDP fields).
+
+    Axis sizes of -1 mean "use all remaining devices". The default is pure
+    data parallelism over every addressable device.
+    """
+
+    model_config = ConfigDict(extra="forbid")
+
+    data: int = -1
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+class RunConfig(BaseCLIConfig):
+    """Top-level training-run config (≈ configs.py:786)."""
+
+    model_config = ConfigDict(extra="forbid", validate_assignment=True, protected_namespaces=())
+
+    model_spec: ModelSpec
+    training_params: TrainingParams
+    dataset_config: DatasetCollectionConfig
+    output_dir: str
+
+    preprocessing: Optional[str] = None
+    sr: int = 16000
+    logging: Literal["mlflow", "wandb", "none"] = "none"
+    logging_uri: str = "http://127.0.0.1:5000/"
+    label_type: Literal["supervised", "text", "self_supervised"] = "supervised"
+    resume_from_checkpoint: Optional[str] = None
+
+    # TPU-native distribution: a mesh instead of nccl process groups.
+    distributed: bool = False
+    mesh: MeshConfig = Field(default_factory=MeshConfig)
+
+    augmentations: List[Augment] = Field(default_factory=list)
+    loss_function: Literal["cross_entropy", "bce", "focal", "clip"] = "cross_entropy"
+    multilabel: bool = False
+    metrics: List[str] = Field(default_factory=lambda: ["accuracy"])
+    device: str = "tpu"
+    seed: int = 42
+    num_workers: int = 4
+    run_name: Optional[str] = None
+    wandb_project: str = "audio-experiments"
+    scheduler: SchedulerConfig = Field(default_factory=SchedulerConfig)
+    clustering_eval: Optional[ClusteringEvalConfig] = None
+    debug_mode: bool = False
+
+    @model_validator(mode="before")
+    @classmethod
+    def _load_nested_dataset_config(cls, data: Any) -> Any:
+        # `dataset_config: path/to.yml` auto-loads the nested file
+        # (≈ configs.py:863-874).
+        if isinstance(data, dict):
+            ds = data.get("dataset_config")
+            if isinstance(ds, str):
+                from avex_tpu.io import read_text
+
+                data = dict(data)
+                data["dataset_config"] = yaml.safe_load(read_text(ds))
+        return data
+
+    @model_validator(mode="after")
+    def _check_loss_consistency(self) -> "RunConfig":
+        # multilabel ⇒ bce/focal; clip loss ⇒ text labels (≈ configs.py:918-952).
+        if self.multilabel and self.loss_function not in ("bce", "focal"):
+            raise ValueError("multilabel=True requires loss_function in {'bce','focal'}")
+        if self.loss_function == "clip" and self.label_type != "text":
+            raise ValueError("loss_function='clip' requires label_type='text'")
+        return self
+
+
+class ExperimentConfig(BaseModel):
+    """One experiment row inside an EvaluateConfig (≈ configs.py:955)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    run_name: str
+    run_config: RunConfig
+    pretrained: bool = True
+    layers: Optional[str] = None  # legacy alias → probe_config.target_layers
+    probe_config: Optional[ProbeConfig] = None
+    checkpoint_path: Optional[str] = None
+    frozen: Optional[bool] = None  # legacy alias → probe_config.freeze_backbone
+
+    @model_validator(mode="before")
+    @classmethod
+    def _load_nested_run_config(cls, data: Any) -> Any:
+        if isinstance(data, dict):
+            rc = data.get("run_config")
+            if isinstance(rc, str):
+                from avex_tpu.io import read_text
+
+                data = dict(data)
+                data["run_config"] = yaml.safe_load(read_text(rc))
+        return data
+
+    @model_validator(mode="after")
+    def _migrate_legacy_fields(self) -> "ExperimentConfig":
+        # Legacy `layers`/`frozen` migrate into probe_config
+        # (≈ configs.py:955-1209).
+        if self.probe_config is None:
+            self.probe_config = ProbeConfig()
+        if self.layers is not None:
+            self.probe_config.target_layers = [self.layers]
+        if self.frozen is not None:
+            self.probe_config.freeze_backbone = self.frozen
+        return self
+
+
+class OfflineEmbeddingsConfig(BaseModel):
+    """Embedding-cache behavior for offline probing (≈ configs.py:1255)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    enabled: bool = True
+    save_dir: Optional[str] = None
+    overwrite: bool = False
+    memory_limit_gb: float = 8.0
+    chunk_size: Optional[int] = None
+
+
+class EvaluateConfig(BaseCLIConfig):
+    """Benchmark-evaluation config (≈ configs.py:1212)."""
+
+    model_config = ConfigDict(extra="forbid")
+
+    experiments: List[ExperimentConfig]
+    dataset_config: BenchmarkEvaluationConfig
+    save_dir: str
+    training_params: TrainingParams = Field(
+        default_factory=lambda: TrainingParams(train_epochs=10, lr=1e-3, batch_size=32)
+    )
+    device: str = "tpu"
+    seed: int = 42
+    num_workers: int = 0
+    probe_num_workers: int = 0
+    eval_modes: List[Literal["probe", "retrieval", "clustering"]] = Field(
+        default_factory=lambda: ["probe"]
+    )
+    offline_embeddings: OfflineEmbeddingsConfig = Field(default_factory=OfflineEmbeddingsConfig)
+    results_csv_path: Optional[str] = None
+    disable_tqdm: bool = False
+
+    @model_validator(mode="before")
+    @classmethod
+    def _load_nested_dataset_config(cls, data: Any) -> Any:
+        if isinstance(data, dict):
+            ds = data.get("dataset_config")
+            if isinstance(ds, str):
+                from avex_tpu.io import read_text
+
+                data = dict(data)
+                data["dataset_config"] = yaml.safe_load(read_text(ds))
+        return data

@@ -1,0 +1,173 @@
+"""Generic spectrogram frontend (raw / spectrogram / mel_spectrogram).
+
+TPU-native counterpart of ``AudioProcessor`` (avex/data/audio_utils.py:76-179):
+``torch.stft`` → power → optional mel → ``log(x + 1e-6)`` → per-sample min-max
+normalization. Like the fbank op, the windowed rDFT is folded into a single
+strided convolution (one MXU pass) rather than an FFT + elementwise chain; the
+mel projection is one further matmul that XLA fuses into the same program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avex_tpu.configs import AudioConfig
+
+__all__ = ["AudioProcessor", "htk_mel_banks", "stft_power"]
+
+
+def _periodic_window(win_length: int, window: str) -> np.ndarray:
+    """torch-compatible periodic analysis windows (float64)."""
+    n = np.arange(win_length, dtype=np.float64)
+    if window == "hann":
+        return 0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)
+    if window == "hamming":
+        return 0.54 - 0.46 * np.cos(2.0 * np.pi * n / win_length)
+    raise ValueError(f"Unknown window type: {window!r}")
+
+
+def htk_mel_banks(
+    n_freqs: int,
+    n_mels: int,
+    sample_rate: float,
+    f_min: float = 0.0,
+    f_max: Optional[float] = None,
+) -> np.ndarray:
+    """HTK-scale triangular mel bank matching ``torchaudio.transforms.MelScale``.
+
+    Returns ``[n_freqs, n_mels]`` (no area normalization, mel = 2595
+    log10(1 + f/700)), the default MelScale configuration the reference's
+    AudioProcessor instantiates (audio_utils.py:97-101).
+    """
+    f_max = f_max if f_max is not None else sample_rate / 2.0
+
+    def to_mel(f):
+        return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+    def from_mel(m):
+        return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+    all_freqs = np.linspace(0.0, sample_rate // 2, n_freqs)
+    f_pts = from_mel(np.linspace(to_mel(f_min), to_mel(f_max), n_mels + 2))
+    f_diff = f_pts[1:] - f_pts[:-1]
+    slopes = f_pts[None, :] - all_freqs[:, None]  # [n_freqs, n_mels + 2]
+    down = -slopes[:, :-2] / f_diff[:-1]
+    up = slopes[:, 2:] / f_diff[1:]
+    return np.maximum(0.0, np.minimum(down, up))  # [n_freqs, n_mels]
+
+
+@functools.lru_cache(maxsize=16)
+def _stft_kernel(n_fft: int, win_length: int, window: str) -> jnp.ndarray:
+    """Windowed-rDFT conv kernel ``[2K, 1, n_fft]`` (cos rows then sin rows).
+
+    When ``win_length < n_fft`` the window is centered inside the frame, as
+    ``torch.stft`` does.
+    """
+    win = _periodic_window(win_length, window)
+    full = np.zeros(n_fft, dtype=np.float64)
+    start = (n_fft - win_length) // 2
+    full[start : start + win_length] = win
+
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)[None, :]
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    angle = 2.0 * np.pi * k * n / n_fft
+    mat = np.concatenate(
+        [full[:, None] * np.cos(angle), full[:, None] * -np.sin(angle)], axis=1
+    )  # [n_fft, 2K]
+    return jnp.asarray(mat.T[:, None, :].astype(np.float32))
+
+
+def stft_power(
+    waveform: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    window: str = "hann",
+    center: bool = True,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """Power spectrogram ``[B, n_fft//2+1, frames]`` matching ``torch.stft``.
+
+    ``center=True`` reflect-pads by ``n_fft // 2`` on both sides (torch's
+    default padding mode), yielding ``1 + T // hop`` frames.
+    """
+    kernel = _stft_kernel(n_fft, win_length, window)
+    x = waveform.astype(jnp.float32)
+    if x.ndim == 1:
+        x = x[None]
+    if center:
+        x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
+    spec = jax.lax.conv_general_dilated(
+        x[:, None, :],
+        kernel,
+        window_strides=(hop_length,),
+        padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        precision=precision,
+    )  # [B, 2K, F]
+    k = n_fft // 2 + 1
+    return jnp.square(spec[:, :k, :]) + jnp.square(spec[:, k:, :])
+
+
+class AudioProcessor:
+    """Raw-audio → model-input transform configured by :class:`AudioConfig`.
+
+    Output shapes mirror the reference (audio_utils.py:106-155):
+      - ``raw`` → ``(B, T)`` unchanged
+      - ``spectrogram`` / ``mel_spectrogram`` → ``(B, F, T')``
+    with optional ``log`` + per-sample min-max normalization
+    (audio_utils.py:167-172).
+    """
+
+    def __init__(self, cfg: AudioConfig) -> None:
+        self.cfg = cfg
+        self.sr = cfg.sample_rate
+        self.n_fft = cfg.n_fft
+        self.hop_length = cfg.hop_length or self.n_fft // 4
+        self.win_length = cfg.win_length or self.n_fft
+        self.window_type = cfg.window
+        self.n_mels = cfg.n_mels
+        self.representation = cfg.representation
+        self.normalize = cfg.normalize
+        self.center = cfg.center
+        if self.representation == "mel_spectrogram":
+            self._mel_fb = jnp.asarray(
+                htk_mel_banks(self.n_fft // 2 + 1, self.n_mels, self.sr).astype(np.float32)
+            )
+
+    def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
+        if waveform.ndim == 1:
+            waveform = waveform[None]
+        if self.representation == "raw":
+            return waveform
+
+        power = stft_power(
+            waveform,
+            n_fft=self.n_fft,
+            hop_length=self.hop_length,
+            win_length=self.win_length,
+            window=self.window_type,
+            center=self.center,
+        )
+        if self.representation == "mel_spectrogram":
+            out = jnp.einsum(
+                "bkf,km->bmf", power, self._mel_fb, precision=jax.lax.Precision.HIGHEST
+            )
+        elif self.representation == "spectrogram":
+            out = power
+        else:
+            raise ValueError(f"Unknown representation: {self.representation!r}")
+        return self._normalize(out) if self.normalize else out
+
+    @staticmethod
+    def _normalize(x: jnp.ndarray) -> jnp.ndarray:
+        """log then per-sample min-max to [0, 1] (audio_utils.py:167-172)."""
+        x = jnp.log(x + 1e-6)
+        lo = jnp.min(x, axis=(-2, -1), keepdims=True)
+        hi = jnp.max(x, axis=(-2, -1), keepdims=True)
+        return (x - lo) / (hi - lo + 1e-8)

@@ -1,0 +1,29 @@
+"""Test session setup: force a deterministic 8-device CPU mesh.
+
+Mirrors the reference's session-wide determinism pinning
+(reference tests/conftest.py:12-22) and adds the multi-device CPU topology
+that the TPU build uses to exercise sharding without real chips.
+Must run before jax initializes its backends, hence the env mutation at
+import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed_numpy():
+    np.random.seed(42)
+    yield
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
