@@ -1,0 +1,553 @@
+"""BEATs (Bidirectional Encoder representation from Audio Transformers) in JAX.
+
+TPU-first re-design of the reference implementation
+(avex/models/beats/{beats,backbone,modules}.py and avex/models/beats_model.py):
+
+- the Kaldi frontend is the fused single-conv op (`avex_tpu.ops.fbank`),
+  pinned to fp32 exactly like the reference (beats.py:304-323);
+- the encoder works in ``[B, T, C]`` throughout (no T-B-C transposes);
+- the T5 relative-position bucket matrix is a trace-time constant
+  (sequence length is static under jit), so only the embedding lookup and the
+  per-layer GRU gate run on device;
+- intermediate activations ("hooks") are first-class functional outputs: the
+  model returns ``(output, aux)`` where ``aux["intermediates"]`` maps
+  reference-compatible layer names (``backbone.post_extract_proj``,
+  ``backbone.encoder.layers.{i}.fc2``) to activations — jit-safe, no mutation;
+- weight-normed pos_conv weights are folded at conversion time;
+- LayerDrop (backbone.py:190-213) is an explicit rng-driven branch, disabled
+  for deterministic/fingerprint paths.
+
+Weight conversion from reference torch checkpoints lives in
+:func:`convert_beats_state_dict`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from pydantic import BaseModel, ConfigDict
+
+from avex_tpu.ops.attention import dot_product_attention, grad_multiply, relative_position_bucket
+from avex_tpu.ops.fbank import KaldiFbank, beats_fbank
+
+__all__ = ["BEATsConfig", "BEATsBackbone", "BEATsModel", "convert_beats_state_dict"]
+
+
+class BEATsConfig(BaseModel):
+    """BEATs architecture hyper-parameters (field surface ≈ beats.py:166-228).
+
+    Defaults match the iter3+AS2M SSL variant; official ESP checkpoints ship a
+    full ``init_config`` dict that parses into this model unchanged.
+    """
+
+    model_config = ConfigDict(extra="allow")
+
+    input_patch_size: int = 16
+    embed_dim: int = 512
+    conv_bias: bool = False
+
+    encoder_layers: int = 12
+    encoder_embed_dim: int = 768
+    encoder_ffn_embed_dim: int = 3072
+    encoder_attention_heads: int = 12
+    activation_fn: str = "gelu"
+
+    layer_wise_gradient_decay_ratio: float = 1.0
+    layer_norm_first: bool = False
+    deep_norm: bool = True
+
+    dropout: float = 0.1
+    attention_dropout: float = 0.1
+    activation_dropout: float = 0.0
+    encoder_layerdrop: float = 0.05
+    dropout_input: float = 0.0
+
+    conv_pos: int = 128
+    conv_pos_groups: int = 16
+
+    relative_position_embedding: bool = True
+    num_buckets: int = 320
+    max_distance: int = 800
+    gru_rel_pos: bool = True
+
+    sample_frequency: float = 16000.0
+    num_mel_bins: int = 128
+    frame_length: float = 25.0
+    frame_shift: float = 10.0
+    fbank_mean: float = 15.41663
+    fbank_std: float = 6.55582
+
+    finetuned_model: bool = False
+    predictor_dropout: float = 0.0
+    predictor_class: int = 527
+
+
+def downsample_padding_mask(padding_mask: jnp.ndarray, target_len: int) -> jnp.ndarray:
+    """All-pool a boolean padding mask down to ``target_len`` positions.
+
+    Replicates ``BEATs.forward_padding_mask`` (beats.py:283-302): trim the
+    remainder, reshape to ``(B, target_len, -1)``, and mark a position padded
+    only when every pooled element is padded.
+    """
+    bsz, n = padding_mask.shape
+    extra = n % target_len
+    if extra:
+        padding_mask = padding_mask[:, :-extra]
+    return jnp.all(padding_mask.reshape(bsz, target_len, -1), axis=-1)
+
+
+def _gelu(x: jnp.ndarray) -> jnp.ndarray:
+    # torch nn.GELU default = exact erf formulation.
+    return jax.nn.gelu(x, approximate=False)
+
+
+class _GatedRelPosAttention(nn.Module):
+    """Self-attention with GRU-gated T5 relative position bias.
+
+    Mirrors ``_MultiheadAttention`` (backbone.py:378-574). The shared bias
+    (``[1, H, T, T]``) is computed by the encoder once and passed in; the gate
+    (a function of this layer's raw Q) modulates it per layer
+    (backbone.py:543-551).
+    """
+
+    embed_dim: int
+    num_heads: int
+    gru_rel_pos: bool = True
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        position_bias: Optional[jnp.ndarray],
+        key_padding_mask: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        bsz, seq, _ = x.shape
+        head_dim = self.embed_dim // self.num_heads
+        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)  # noqa: E731
+
+        q = dense("q_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = dense("k_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = dense("v_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        bias = None
+        if position_bias is not None:
+            if self.gru_rel_pos:
+                grep_a = self.param(
+                    "grep_a", nn.initializers.ones, (1, self.num_heads, 1, 1), jnp.float32
+                )
+                gates = nn.Dense(8, dtype=self.dtype, name="grep_linear")(q)
+                gates = jax.nn.sigmoid(
+                    gates.reshape(bsz, self.num_heads, seq, 2, 4).sum(-1).astype(jnp.float32)
+                )
+                gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]
+                gate = gate_a * (gate_b * grep_a - 1.0) + 2.0  # [B, H, T, 1]
+                bias = gate * position_bias
+            else:
+                bias = position_bias
+        if key_padding_mask is not None:
+            pad = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, 0.0)
+            bias = pad if bias is None else bias + pad
+
+        out = dot_product_attention(q, k, v, bias=bias, scale=head_dim**-0.5)
+        out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, self.embed_dim)
+        return dense("out_proj")(out)
+
+
+class _EncoderLayer(nn.Module):
+    """One BEATs block: gated-bias attention + FFN with DeepNorm residuals.
+
+    Mirrors ``_TransformerSentenceEncoderLayer`` (backbone.py:224-375). Only
+    the post-LN (+DeepNorm) and pre-LN orderings used by the reference are
+    implemented. Returns ``(x, fc2_out)`` where ``fc2_out`` is the raw fc2
+    activation — the tensor the reference captures via its fc2 forward hook.
+    """
+
+    cfg: BEATsConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        position_bias: Optional[jnp.ndarray],
+        key_padding_mask: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        alpha = math.pow(2 * cfg.encoder_layers, 0.25) if cfg.deep_norm else 1.0
+        attn = _GatedRelPosAttention(
+            embed_dim=cfg.encoder_embed_dim,
+            num_heads=cfg.encoder_attention_heads,
+            gru_rel_pos=cfg.gru_rel_pos,
+            dropout=cfg.attention_dropout,
+            dtype=self.dtype,
+            name="self_attn",
+        )
+        ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_layer_norm")
+        ln_final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")
+        fc1 = nn.Dense(cfg.encoder_ffn_embed_dim, dtype=self.dtype, name="fc1")
+        fc2 = nn.Dense(cfg.encoder_embed_dim, dtype=self.dtype, name="fc2")
+        drop = nn.Dropout(cfg.dropout)
+        drop_act = nn.Dropout(cfg.activation_dropout)
+
+        if cfg.layer_norm_first:
+            residual = x
+            h = ln_attn(x)
+            h = attn(h, position_bias, key_padding_mask, deterministic)
+            x = residual + drop(h, deterministic=deterministic)
+            residual = x
+            h = ln_final(x)
+            h = _gelu(fc1(h))
+            h = drop_act(h, deterministic=deterministic)
+            fc2_out = fc2(h)
+            x = residual + drop(fc2_out, deterministic=deterministic)
+        else:
+            h = attn(x, position_bias, key_padding_mask, deterministic)
+            x = x * alpha + drop(h, deterministic=deterministic)
+            x = ln_attn(x)
+            residual = x
+            h = _gelu(fc1(x))
+            h = drop_act(h, deterministic=deterministic)
+            fc2_out = fc2(h)
+            x = residual * alpha + drop(fc2_out, deterministic=deterministic)
+            x = ln_final(x)
+        return x, fc2_out
+
+
+class _TransformerEncoder(nn.Module):
+    """BEATs encoder stack: conv positional embedding + N gated-bias layers.
+
+    Mirrors ``TransformerEncoder`` (backbone.py:38-221). The relative position
+    bias table lives here (single owner — the reference aliases layer 0's table
+    into every layer, backbone.py:100-103) and is looked up once per forward.
+    """
+
+    cfg: BEATsConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        disable_layerdrop: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        cfg = self.cfg
+        bsz, seq, dim = x.shape
+
+        if padding_mask is not None:
+            x = jnp.where(padding_mask[:, :, None], 0.0, x)
+
+        # Grouped conv positional embedding (weight norm folded at load);
+        # even kernel → SamePad trims the final position (backbone.py:52-68).
+        pos = nn.Conv(
+            features=dim,
+            kernel_size=(cfg.conv_pos,),
+            feature_group_count=cfg.conv_pos_groups,
+            padding=[(cfg.conv_pos // 2, cfg.conv_pos // 2)],
+            dtype=self.dtype,
+            name="pos_conv",
+        )(x)
+        if cfg.conv_pos % 2 == 0:
+            pos = pos[:, :-1, :]
+        x = x + _gelu(pos)
+
+        if not cfg.layer_norm_first:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+        x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
+
+        position_bias = None
+        if cfg.relative_position_embedding:
+            table = nn.Embed(
+                cfg.num_buckets, cfg.encoder_attention_heads, name="rel_attn_bias"
+            )
+            buckets = jnp.asarray(
+                relative_position_bucket(seq, seq, cfg.num_buckets, cfg.max_distance)
+            )
+            # [T, T, H] -> [1, H, T, T]
+            position_bias = table(buckets).transpose(2, 0, 1)[None].astype(jnp.float32)
+
+        intermediates: Dict[str, jnp.ndarray] = {}
+        for i in range(cfg.encoder_layers):
+            if cfg.layer_wise_gradient_decay_ratio != 1.0:
+                x = grad_multiply(x, cfg.layer_wise_gradient_decay_ratio)
+            layer = _EncoderLayer(cfg=cfg, dtype=self.dtype, name=f"layers_{i}")
+            new_x, fc2_out = layer(x, position_bias, padding_mask, deterministic)
+            if not disable_layerdrop and cfg.encoder_layerdrop > 0 and not deterministic:
+                # LayerDrop: keep the layer with prob (1 - layerdrop)
+                # (backbone.py:190-213).
+                keep = (
+                    jax.random.uniform(self.make_rng("layerdrop"), ())
+                    > cfg.encoder_layerdrop
+                )
+                new_x = jnp.where(keep, new_x, x)
+                fc2_out = jnp.where(keep, fc2_out, jnp.zeros_like(fc2_out))
+            x = new_x
+            intermediates[f"encoder.layers.{i}.fc2"] = fc2_out
+
+        if cfg.layer_norm_first:
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+        return x, intermediates
+
+
+class BEATsBackbone(nn.Module):
+    """Full BEATs backbone: fbank frontend → patch embed → encoder.
+
+    Mirrors ``BEATs`` (beats.py:231-402). ``__call__`` is the feature path
+    (``extract_features`` with ``feature_only=True``); pass
+    ``apply_predictor=True`` for the fine-tuned 527-class AudioSet head with
+    masked-mean logits pooling (beats.py:369-381).
+    """
+
+    cfg: BEATsConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        source: jnp.ndarray,
+        padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        disable_layerdrop: bool = True,
+        apply_predictor: bool = False,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        cfg = self.cfg
+        fbank = KaldiFbank(
+            num_mel_bins=cfg.num_mel_bins,
+            sample_frequency=cfg.sample_frequency,
+            frame_length_ms=cfg.frame_length,
+            frame_shift_ms=cfg.frame_shift,
+        )
+        # fp32-pinned frontend (beats.py:304-323).
+        feats = beats_fbank(source, cfg.fbank_mean, cfg.fbank_std, fbank=fbank)
+
+        if padding_mask is not None:
+            padding_mask = downsample_padding_mask(padding_mask, feats.shape[1])
+
+        # Patch embedding: NHWC conv, stride = kernel = patch size; flatten
+        # order (time-patch major, then freq patch) matches the reference's
+        # NCHW reshape+transpose (beats.py:349-352).
+        x = feats[:, :, :, None].astype(self.dtype)
+        x = nn.Conv(
+            features=cfg.embed_dim,
+            kernel_size=(cfg.input_patch_size, cfg.input_patch_size),
+            strides=(cfg.input_patch_size, cfg.input_patch_size),
+            use_bias=cfg.conv_bias,
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embedding",
+        )(x)
+        bsz, tp, fp, c = x.shape
+        x = x.reshape(bsz, tp * fp, c)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
+
+        if padding_mask is not None:
+            padding_mask = downsample_padding_mask(padding_mask, x.shape[1])
+
+        if cfg.embed_dim != cfg.encoder_embed_dim:
+            x = nn.Dense(cfg.encoder_embed_dim, dtype=self.dtype, name="post_extract_proj")(x)
+        intermediates = {"post_extract_proj": x}
+
+        x = nn.Dropout(cfg.dropout_input)(x, deterministic=deterministic)
+
+        x, enc_inter = _TransformerEncoder(cfg=cfg, dtype=self.dtype, name="encoder")(
+            x,
+            padding_mask=padding_mask,
+            deterministic=deterministic,
+            disable_layerdrop=disable_layerdrop,
+        )
+        intermediates.update(enc_inter)
+        aux: Dict[str, Any] = {"intermediates": intermediates, "padding_mask": padding_mask}
+
+        if apply_predictor and cfg.finetuned_model:
+            h = nn.Dropout(cfg.predictor_dropout)(x, deterministic=deterministic)
+            logits = nn.Dense(cfg.predictor_class, dtype=self.dtype, name="predictor")(h)
+            if padding_mask is not None:
+                logits = jnp.where(padding_mask[:, :, None], 0.0, logits)
+                denom = jnp.maximum(jnp.sum(~padding_mask, axis=1, keepdims=True), 1)
+                pooled = logits.sum(axis=1) / denom
+            else:
+                pooled = logits.mean(axis=1)
+            return pooled, aux
+        elif cfg.finetuned_model:
+            # Instantiate the predictor so checkpoints load even when the
+            # feature path is used (parameters must exist to receive weights).
+            _ = nn.Dense(cfg.predictor_class, dtype=self.dtype, name="predictor")
+
+        return x, aux
+
+
+class BEATsModel(nn.Module):
+    """BEATs wrapper with optional classifier (≈ avex/models/beats_model.py).
+
+    Forward: raw waveform → backbone features → masked mean pool → classifier
+    logits (beats_model.py:232-277). ``num_classes=None`` returns frame-level
+    features. ``use_naturelm`` clamps the waveform to [-1, 1] first
+    (beats_model.py:431-435). Intermediates are exposed under
+    reference-compatible names prefixed with ``backbone.``.
+    """
+
+    cfg: BEATsConfig
+    num_classes: Optional[int] = None
+    use_naturelm: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+        disable_layerdrop: bool = True,
+    ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        if self.use_naturelm:
+            x = jnp.clip(x, -1.0, 1.0)
+        features, aux = BEATsBackbone(cfg=self.cfg, dtype=self.dtype, name="backbone")(
+            x,
+            padding_mask=padding_mask,
+            deterministic=deterministic,
+            disable_layerdrop=disable_layerdrop,
+        )
+        aux["intermediates"] = {
+            f"backbone.{k}": v for k, v in aux["intermediates"].items()
+        }
+        aux["features"] = features
+
+        frame_mask = aux.get("padding_mask")
+        if frame_mask is not None:
+            masked = jnp.where(frame_mask[:, :, None], 0.0, features)
+            denom = jnp.maximum(jnp.sum(~frame_mask, axis=1, keepdims=True), 1)
+            pooled = masked.sum(axis=1) / denom
+        else:
+            pooled = features.mean(axis=1)
+        aux["pooled"] = pooled
+
+        if self.num_classes is None:
+            return features, aux
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(pooled)
+        return logits, aux
+
+
+# ---------------------------------------------------------------------------
+# Weight conversion (reference torch checkpoints → flax params)
+# ---------------------------------------------------------------------------
+
+
+def _fold_weight_norm(g: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Fold torch ``parametrizations.weight_norm(dim=2)`` into a plain kernel.
+
+    ``w[:, :, k] = g[0, 0, k] * v[:, :, k] / ||v[:, :, k]||`` — the norm runs
+    over all axes except dim 2 (backbone.py:64-67 uses dim=2 on a conv1d
+    weight of shape ``[out, in/groups, K]``).
+    """
+    norm = np.sqrt(np.sum(np.square(v), axis=(0, 1), keepdims=True))
+    return g * v / norm
+
+
+def convert_beats_state_dict(
+    state: Dict[str, np.ndarray],
+    cfg: BEATsConfig,
+    num_classes: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Convert a reference BEATs torch state dict into flax param pytree.
+
+    Accepts wrapper-level checkpoints (keys prefixed ``backbone.``, optional
+    ``classifier.``) as produced by the official ESP safetensors exports, or
+    bare-backbone checkpoints (no prefix), which are treated as
+    ``backbone.``-rooted. Weight-normed pos_conv parametrizations are folded.
+    """
+    # Normalize to wrapper-rooted keys.
+    if not any(k.startswith("backbone.") for k in state):
+        state = {f"backbone.{k}": v for k, v in state.items()}
+
+    # Fold pos_conv weight norm (either parametrized or legacy g/v naming).
+    state = dict(state)
+    pos_prefixes = set()
+    for key in list(state):
+        if "pos_conv" in key and ("original0" in key or "weight_g" in key):
+            pos_prefixes.add(key.rsplit(".", 1)[0].replace(".parametrizations.weight", ""))
+    for prefix in pos_prefixes:
+        para = f"{prefix}.parametrizations.weight"
+        if f"{para}.original0" in state:
+            g, v = state.pop(f"{para}.original0"), state.pop(f"{para}.original1")
+        else:
+            g, v = state.pop(f"{prefix}.weight_g"), state.pop(f"{prefix}.weight_v")
+        state[f"{prefix}.weight"] = _fold_weight_norm(g, v)
+
+    params: Dict[str, Any] = {}
+
+    def put(path: Tuple[str, ...], value: np.ndarray) -> None:
+        node = params
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = jnp.asarray(np.asarray(value, dtype=np.float32))
+
+    heads = cfg.encoder_attention_heads
+
+    for key, value in state.items():
+        parts = key.split(".")
+        if parts[0] != "backbone":
+            if parts[0] == "classifier" and num_classes is not None:
+                if parts[1] == "weight":
+                    put(("classifier", "kernel"), value.T)
+                else:
+                    put(("classifier", "bias"), value)
+            continue
+        rest = parts[1:]
+        name = ".".join(rest)
+
+        if name.startswith("fbank."):
+            continue  # frontend constants are rebuilt analytically
+        if name == "patch_embedding.weight":
+            put(("backbone", "patch_embedding", "kernel"), value.transpose(2, 3, 1, 0))
+        elif name == "patch_embedding.bias":
+            put(("backbone", "patch_embedding", "bias"), value)
+        elif name in ("layer_norm.weight", "layer_norm.bias"):
+            put(("backbone", "layer_norm", "scale" if name.endswith("weight") else "bias"), value)
+        elif name.startswith("post_extract_proj."):
+            which = "kernel" if name.endswith("weight") else "bias"
+            put(("backbone", "post_extract_proj", which), value.T if which == "kernel" else value)
+        elif name.startswith("predictor."):
+            which = "kernel" if name.endswith("weight") else "bias"
+            put(("backbone", "predictor", which), value.T if which == "kernel" else value)
+        elif name.startswith("encoder.pos_conv"):
+            if name.endswith("weight"):
+                put(("backbone", "encoder", "pos_conv", "kernel"), value.transpose(2, 1, 0))
+            else:
+                put(("backbone", "encoder", "pos_conv", "bias"), value)
+        elif name in ("encoder.layer_norm.weight", "encoder.layer_norm.bias"):
+            put(
+                ("backbone", "encoder", "layer_norm", "scale" if name.endswith("weight") else "bias"),
+                value,
+            )
+        elif "relative_attention_bias" in name:
+            # The reference aliases every layer to layer 0's table
+            # (backbone.py:100-103); keep only the canonical copy.
+            if "layers.0." in name and name.endswith("weight"):
+                put(("backbone", "encoder", "rel_attn_bias", "embedding"), value)
+        elif name.startswith("encoder.layers."):
+            idx = rest[2]
+            sub = rest[3:]
+            base = ("backbone", "encoder", f"layers_{idx}")
+            if sub[0] == "self_attn":
+                if sub[1] in ("q_proj", "k_proj", "v_proj", "out_proj", "grep_linear"):
+                    which = "kernel" if sub[2] == "weight" else "bias"
+                    put(base + ("self_attn", sub[1], which), value.T if which == "kernel" else value)
+                elif sub[1] == "grep_a":
+                    put(base + ("self_attn", "grep_a"), value.reshape(1, heads, 1, 1))
+            elif sub[0] in ("fc1", "fc2"):
+                which = "kernel" if sub[1] == "weight" else "bias"
+                put(base + (sub[0], which), value.T if which == "kernel" else value)
+            elif sub[0] in ("self_attn_layer_norm", "final_layer_norm"):
+                which = "scale" if sub[1] == "weight" else "bias"
+                put(base + (sub[0], which), value)
+    return {"params": params}
