@@ -35,7 +35,13 @@ from pydantic import BaseModel, ConfigDict
 from avex_tpu.ops.attention import dot_product_attention, grad_multiply, relative_position_bucket
 from avex_tpu.ops.fbank import KaldiFbank, beats_fbank
 
-__all__ = ["BEATsConfig", "BEATsBackbone", "BEATsModel", "convert_beats_state_dict"]
+__all__ = [
+    "BEATsConfig",
+    "BEATsBackbone",
+    "BEATsModel",
+    "Model",
+    "convert_beats_state_dict",
+]
 
 
 class BEATsConfig(BaseModel):
@@ -551,3 +557,75 @@ def convert_beats_state_dict(
                 which = "scale" if sub[1] == "weight" else "bias"
                 put(base + (sub[0], which), value)
     return {"params": params}
+
+
+# ---------------------------------------------------------------------------
+# Registered wrapper (architecture name: "beats")
+# ---------------------------------------------------------------------------
+
+from avex_tpu.models.base import ModelBase  # noqa: E402  (wrapper layer import)
+from avex_tpu.utils.tree import merge_converted_params  # noqa: E402
+
+
+class Model(ModelBase):
+    """BEATs wrapper registered as ``beats`` (≈ avex/models/beats_model.py).
+
+    Constructor surface mirrors the reference factory call
+    (avex/models/utils/factory.py:19-167 forwards device/num_classes/
+    pretrained/audio_config plus BEATs-specific spec fields). ``pretrained``
+    weights come from checkpoints via :meth:`load_state_dict` — there is no
+    implicit network fetch here.
+    """
+
+    def __init__(
+        self,
+        device: str = "tpu",
+        num_classes: Optional[int] = None,
+        pretrained: bool = True,
+        audio_config: Optional[Dict[str, Any]] = None,
+        init_config: Optional[Dict[str, Any]] = None,
+        use_naturelm: Optional[bool] = None,
+        fine_tuned: Optional[bool] = None,
+        return_features_only: bool = False,
+        compute_dtype: str = "float32",
+        seed: int = 0,
+    ) -> None:
+        super().__init__(device=device, audio_config=audio_config)
+        cfg = BEATsConfig(**(init_config or {}))
+        if use_naturelm:
+            cfg = cfg.model_copy(update={"finetuned_model": True})
+        self.cfg = cfg
+        self.use_naturelm = bool(use_naturelm)
+        self.fine_tuned = bool(fine_tuned)
+        self.disable_layerdrop = True
+        self.num_classes = num_classes if not return_features_only else None
+        self._return_features_only = return_features_only
+
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self.module = BEATsModel(
+            cfg=cfg,
+            num_classes=self.num_classes,
+            use_naturelm=self.use_naturelm,
+            dtype=dtype,
+        )
+        dummy = jnp.zeros((1, int(cfg.sample_frequency)), dtype=jnp.float32)
+        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+
+    def _apply_kwargs(self) -> Dict[str, Any]:
+        return {"deterministic": True, "disable_layerdrop": self.disable_layerdrop}
+
+    def _discover_embedding_layers(self) -> None:
+        """post_extract_proj + per-layer fc2 (beats_model.py:206-227)."""
+        if not self._layer_names:
+            self._layer_names = ["backbone.post_extract_proj"] + [
+                f"backbone.encoder.layers.{i}.fc2" for i in range(self.cfg.encoder_layers)
+            ]
+
+    def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        converted = convert_beats_state_dict(state, self.cfg, num_classes=self.num_classes)
+        self.variables = merge_converted_params(self.variables, converted, strict=strict)
+        self._jit_cache.clear()
+
+    def enable_gradient_checkpointing(self) -> None:
+        """Gradient checkpointing is applied by the trainer via jax.checkpoint
+        policies on the train step; nothing to mutate here."""
