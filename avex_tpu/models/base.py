@@ -237,6 +237,34 @@ class ModelBase:
         out = fn(self.variables, jnp.asarray(x), padding_mask)
         return list(out) if isinstance(out, tuple) else out
 
+    def embedding_shapes(
+        self, input_shape: Tuple[int, ...], aggregation: str = "none"
+    ) -> List[Tuple[int, ...]]:
+        """Per-selected-layer embedding shapes, via ``jax.eval_shape`` (free).
+
+        Replaces the reference's dummy-forward shape inference
+        (base_probes.py:121-157) — no FLOPs, no RNG, exact shapes.
+        """
+        if not self._hook_layers:
+            raise ValueError("No hooks registered. Call register_hooks_for_layers() first.")
+        layers = tuple(self._hook_layers)
+
+        def shapes_fn(variables, x):
+            _, aux = self.module.apply(variables, x, None, **self._apply_kwargs())
+            inter = aux["intermediates"]
+            embs = [inter[name] for name in layers]
+            if aggregation != "none":
+                # Mirrors extract_embeddings: pooled layers concatenate into
+                # one feature vector (base_model.py:449-453).
+                embs = [self._aggregate(e, aggregation) for e in embs]
+                return (embs[0],) if len(embs) == 1 else (jnp.concatenate(embs, axis=1),)
+            return tuple(embs)
+
+        out = jax.eval_shape(
+            shapes_fn, self.variables, jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32)
+        )
+        return [tuple(s.shape) for s in out]
+
     # ------------------------------------------------------------------
     # torch-API compat shims
     # ------------------------------------------------------------------
