@@ -1,0 +1,275 @@
+"""Dataset backends: synthetic / local files / HuggingFace datasets.
+
+The reference delegates dataset construction to the private ``esp_data``
+package (avex/data/dataset.py:17-22); avex-tpu ships a small local backend
+with the same role: a map-style dataset of
+``{"raw_wav": np.ndarray, "label": int|str, "text_label": str?}`` items,
+constructed from a :class:`avex_tpu.configs.DatasetConfig`.
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from avex_tpu.configs import DatasetConfig
+
+logger = logging.getLogger(__name__)
+
+
+class AudioDataset:
+    """Map-style dataset base: ``len`` + integer ``__getitem__``."""
+
+    def __init__(self, label_names: Optional[List[str]] = None) -> None:
+        self.label_names = label_names or []
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.label_names)
+
+    def label_map(self) -> Dict[str, int]:
+        return {name: i for i, name in enumerate(self.label_names)}
+
+    def __len__(self) -> int:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:  # pragma: no cover
+        raise NotImplementedError
+
+
+class SyntheticAudioDataset(AudioDataset):
+    """Deterministic synthetic bioacoustic-ish clips for tests and benches.
+
+    Each class is a band-limited chirp at a class-specific base frequency
+    plus seeded noise, so probes genuinely learn something separable.
+    """
+
+    def __init__(self, cfg: DatasetConfig) -> None:
+        self.cfg = cfg
+        super().__init__(label_names=[f"class_{i}" for i in range(cfg.num_classes)])
+        self.sample_rate = cfg.sample_rate
+        self.length = int(cfg.clip_seconds * cfg.sample_rate)
+
+    def __len__(self) -> int:
+        return self.cfg.num_samples
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        label = idx % self.cfg.num_classes
+        rng = np.random.default_rng(self.cfg.seed * 100003 + idx)
+        t = np.arange(self.length, dtype=np.float32) / self.sample_rate
+        base = 400.0 * (label + 1)
+        sweep = base * (1.0 + 0.3 * t)
+        wav = 0.3 * np.sin(2 * np.pi * sweep * t).astype(np.float32)
+        wav += 0.05 * rng.standard_normal(self.length).astype(np.float32)
+        return {
+            "raw_wav": wav,
+            "label": label,
+            "text_label": f"a recording of {self.label_names[label]}",
+        }
+
+
+class LocalAudioDataset(AudioDataset):
+    """Directory of ``.wav``/``.npy`` clips + a csv/jsonl metadata file.
+
+    Metadata columns: ``path`` (relative to the dataset dir) and the
+    configured ``label_column``; optional ``text_column``.
+    """
+
+    def __init__(self, cfg: DatasetConfig) -> None:
+        self.cfg = cfg
+        root = Path(cfg.path or ".")
+        self.root = root
+        meta_file = None
+        for candidate in ("metadata.csv", "metadata.jsonl", "meta.csv"):
+            if (root / candidate).exists():
+                meta_file = root / candidate
+                break
+        if meta_file is None:
+            raise FileNotFoundError(f"No metadata.csv/jsonl under {root}")
+        self.rows: List[Dict[str, Any]] = []
+        if meta_file.suffix == ".csv":
+            with open(meta_file) as f:
+                self.rows = list(csv.DictReader(f))
+        else:
+            with open(meta_file) as f:
+                self.rows = [json.loads(line) for line in f if line.strip()]
+        labels = sorted({str(r[cfg.label_column]) for r in self.rows})
+        super().__init__(label_names=labels)
+        self._label_to_idx = {name: i for i, name in enumerate(labels)}
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def _load_audio(self, path: Path) -> np.ndarray:
+        if path.suffix == ".npy":
+            return np.load(path).astype(np.float32)
+        if path.suffix == ".wav":
+            from scipy.io import wavfile
+
+            _sr, wav = wavfile.read(path)
+            wav = wav.astype(np.float32)
+            if wav.dtype != np.float32 or np.abs(wav).max() > 2.0:
+                wav = wav / 32768.0
+            if wav.ndim == 2:
+                wav = wav.mean(axis=1)
+            return wav
+        raise ValueError(f"Unsupported audio format: {path}")
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        row = self.rows[idx]
+        wav = self._load_audio(self.root / row["path"])
+        if self.cfg.audio_max_length_seconds:
+            wav = wav[: int(self.cfg.audio_max_length_seconds * self.cfg.sample_rate)]
+        label = self._label_to_idx[str(row[self.cfg.label_column])]
+        item = {"raw_wav": wav, "label": label}
+        if self.cfg.text_column and self.cfg.text_column in row:
+            item["text_label"] = row[self.cfg.text_column]
+        return item
+
+
+class HFAudioDataset(AudioDataset):
+    """HuggingFace ``datasets`` adapter (audio + label columns)."""
+
+    def __init__(self, cfg: DatasetConfig) -> None:
+        import datasets as hfds
+
+        self.cfg = cfg
+        self.ds = hfds.load_dataset(cfg.path, split=cfg.split or "train")
+        feature = self.ds.features.get(cfg.label_column)
+        if hasattr(feature, "names"):
+            labels = list(feature.names)
+        else:
+            labels = sorted({str(x) for x in self.ds[cfg.label_column]})
+        super().__init__(label_names=labels)
+        self._label_to_idx = {name: i for i, name in enumerate(labels)}
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        row = self.ds[int(idx)]
+        audio = row[self.cfg.audio_column]
+        wav = np.asarray(audio["array"], dtype=np.float32)
+        label = row[self.cfg.label_column]
+        if not isinstance(label, int):
+            label = self._label_to_idx[str(label)]
+        return {"raw_wav": wav, "label": label}
+
+
+class ConcatenatedDataset(AudioDataset):
+    """Merge datasets under a concat policy (≈ avex/data/dataset.py:99-150).
+
+    - ``hard``: label spaces must match exactly;
+    - ``overlap``: use the intersection of label names;
+    - ``soft``: union of label names.
+    """
+
+    def __init__(self, datasets: Sequence[AudioDataset], policy: str = "hard") -> None:
+        names_list = [ds.label_names for ds in datasets]
+        if policy == "hard":
+            for names in names_list[1:]:
+                if names != names_list[0]:
+                    raise ValueError("hard concat requires identical label spaces")
+            merged = list(names_list[0])
+        elif policy == "overlap":
+            common = set(names_list[0])
+            for names in names_list[1:]:
+                common &= set(names)
+            merged = sorted(common)
+        elif policy == "soft":
+            union: List[str] = []
+            for names in names_list:
+                for n in names:
+                    if n not in union:
+                        union.append(n)
+            merged = union
+        else:
+            raise ValueError(f"Unknown concat policy: {policy}")
+        super().__init__(label_names=merged)
+        self._map = {n: i for i, n in enumerate(merged)}
+        self._index: List[tuple] = []
+        self.datasets = list(datasets)
+        for d_idx, ds in enumerate(self.datasets):
+            for i in range(len(ds)):
+                local_label = ds.label_names[ds[i]["label"]] if policy != "hard" else None
+                if policy == "overlap" and local_label not in self._map:
+                    continue
+                self._index.append((d_idx, i))
+
+    def __len__(self) -> int:
+        return len(self._index)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        d_idx, i = self._index[idx]
+        item = dict(self.datasets[d_idx][i])
+        name = self.datasets[d_idx].label_names[item["label"]]
+        item["label"] = self._map[name]
+        return item
+
+
+_BACKENDS = {
+    "synthetic": SyntheticAudioDataset,
+    "local": LocalAudioDataset,
+    "hf": HFAudioDataset,
+}
+
+
+def dataset_from_config(cfg: DatasetConfig) -> AudioDataset:
+    """Instantiate the configured backend (the esp_data entry-point analogue)."""
+    if cfg.kind not in _BACKENDS:
+        raise ValueError(f"Unknown dataset kind: {cfg.kind}")
+    ds = _BACKENDS[cfg.kind](cfg)
+    for transform in cfg.transformations:
+        ds = apply_transform(ds, transform)
+    return ds
+
+
+def apply_transform(ds: AudioDataset, transform: Dict[str, Any]) -> AudioDataset:
+    """Apply a named dataset transform (≈ avex/data/transforms.py)."""
+    kind = transform.get("kind") or transform.get("name")
+    if kind == "rl_subsample":
+        # Deterministic subsample by ratio/max_samples (transforms.py:135).
+        ratio = transform.get("ratio", 1.0)
+        max_samples = transform.get("max_samples")
+        seed = transform.get("seed", 0)
+        n = len(ds)
+        keep = int(n * ratio)
+        if max_samples is not None:
+            keep = min(keep, int(max_samples))
+        rng = np.random.default_rng(seed)
+        indices = sorted(rng.permutation(n)[:keep].tolist())
+        return SubsetDataset(ds, indices)
+    if kind == "train_val_split":
+        # Deterministic hash-based split (transforms.py:34).
+        split = transform.get("split", "train")
+        val_fraction = transform.get("val_fraction", 0.1)
+        indices = []
+        for i in range(len(ds)):
+            h = int(hashlib.md5(f"{i}".encode()).hexdigest(), 16) % 1000
+            is_val = h < val_fraction * 1000
+            if (split == "val") == is_val:
+                indices.append(i)
+        return SubsetDataset(ds, indices)
+    raise ValueError(f"Unknown dataset transform: {kind}")
+
+
+class SubsetDataset(AudioDataset):
+    """Index-filtered view of another dataset."""
+
+    def __init__(self, base: AudioDataset, indices: List[int]) -> None:
+        super().__init__(label_names=base.label_names)
+        self.base = base
+        self.indices = indices
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        return self.base[self.indices[idx]]

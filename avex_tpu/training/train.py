@@ -1,0 +1,297 @@
+"""Trainer: the pjit-sharded training loop.
+
+Counterpart of ``avex/training/train.py:55-751``, re-designed for TPU:
+
+- DDP + AMP + GradScaler become a single jitted train step over a
+  ``jax.sharding.Mesh``: params replicated, batch sharded on the ``data``
+  axis; the gradient all-reduce is inserted by XLA (no NCCL plumbing, no
+  scaler — bf16 on TPU needs no loss scaling).
+- The step donates its input state (``donate_argnums``) so parameter and
+  optimizer memory is reused in place.
+- Two-stage fine-tuning (train.py:131-135, :704-751): stage one multiplies
+  backbone updates by zero via ``optax.multi_transform``; stage two rebuilds
+  the optimizer at ``second_stage_lr`` (default ``0.1 * lr``).
+- Gradient checkpointing maps to per-layer ``nn.remat`` configured on the
+  model module (``training_params.gradient_checkpointing``).
+- Checkpoint/resume via :class:`CheckpointManager` (orbax); epoch metrics via
+  :class:`MetricsTracker`; observability via :class:`ExperimentLogger`.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from avex_tpu.configs import RunConfig
+from avex_tpu.parallel import make_mesh, replicate, shard_batch
+from avex_tpu.training.checkpoint import CheckpointManager
+from avex_tpu.training.metrics_tracker import MetricsTracker
+from avex_tpu.training.optimizers import make_optimizer
+from avex_tpu.training.strategies import make_strategy
+
+logger = logging.getLogger(__name__)
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Replicated training state, donated through the jitted step."""
+
+    step: jnp.ndarray
+    params: Any
+    extra_variables: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def _partition_backbone(params) -> Any:
+    """Label backbone vs head parameters for two-stage fine-tuning."""
+
+    def label(path, _leaf):
+        top = getattr(path[0], "key", getattr(path[0], "name", ""))
+        return "frozen" if str(top) == "backbone" else "train"
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+class Trainer:
+    """Epoch-loop trainer over any iterable of host batches.
+
+    Batches are dicts with ``raw_wav`` (B, T), optional ``padding_mask``,
+    ``label`` (ints or one/multi-hot), optional ``text_tokens``. Loaders
+    supply numpy; sharding happens here.
+    """
+
+    def __init__(
+        self,
+        model,
+        config: RunConfig,
+        train_loader: Iterable,
+        val_loader: Optional[Iterable] = None,
+        mesh=None,
+        exp_logger=None,
+        steps_per_epoch: Optional[int] = None,
+    ) -> None:
+        self.model = model
+        self.config = config
+        self.params_cfg = config.training_params
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.exp_logger = exp_logger
+        self.mesh = mesh or make_mesh(
+            data=config.mesh.data, model=config.mesh.model, axis_names=config.mesh.axis_names
+        )
+        self.strategy = make_strategy(
+            config.label_type, config.loss_function, config.multilabel
+        )
+        self.mode = {
+            "supervised": "supervised",
+            "text": "clip",
+            "self_supervised": "ssl",
+        }[config.label_type]
+        self.checkpoints = CheckpointManager(config.output_dir)
+
+        if steps_per_epoch is None:
+            try:
+                steps_per_epoch = len(train_loader)
+            except TypeError:
+                steps_per_epoch = 100
+        self.steps_per_epoch = steps_per_epoch
+        self.total_steps = steps_per_epoch * self.params_cfg.train_epochs
+
+        variables = dict(model.variables)
+        params = variables.pop("params")
+        self._init_params = params
+        self._extra_variables = variables
+
+        self._apply_fn = self._make_apply_fn()
+        self._stage = 1 if self.params_cfg.freeze_backbone_epochs > 0 else 2
+        self._build_step(stage=self._stage)
+
+        rng = jax.random.PRNGKey(config.seed)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=replicate(params, self.mesh),
+            extra_variables=replicate(self._extra_variables, self.mesh),
+            opt_state=replicate(self._tx.init(params), self.mesh),
+            rng=rng,
+        )
+        self.best_val_acc = -np.inf
+        self.start_epoch = 0
+        if config.resume_from_checkpoint:
+            self._resume(config.resume_from_checkpoint)
+
+    # ------------------------------------------------------------------
+
+    def _make_apply_fn(self) -> Callable:
+        module = self.model.module
+
+        def apply_fn(variables, *args, rngs=None, **kwargs):
+            return module.apply(variables, *args, rngs=rngs, **kwargs)
+
+        return apply_fn
+
+    def _build_step(self, stage: int) -> None:
+        """(Re)build optimizer + jitted train/eval steps for the given stage."""
+        lr_override = None
+        if stage == 2 and self.params_cfg.freeze_backbone_epochs > 0:
+            lr_override = self.params_cfg.second_stage_lr or 0.1 * self.params_cfg.lr
+        tx, self._schedule = make_optimizer(
+            self.params_cfg,
+            self.config.scheduler,
+            total_steps=self.total_steps,
+            params=self._init_params,
+            lr_override=lr_override,
+        )
+        if stage == 1:
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()},
+                _partition_backbone(self._init_params),
+            )
+        self._tx = tx
+        strategy = self.strategy
+        apply_fn = self._apply_fn
+
+        def train_step(state: TrainState, batch):
+            rng, step_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                return strategy.forward_loss(
+                    apply_fn, params, state.extra_variables, batch, step_rng, train=True
+                )
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self._tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            )
+            return new_state, loss, metrics
+
+        def eval_step(state: TrainState, batch):
+            loss, metrics = strategy.forward_loss(
+                apply_fn, state.params, state.extra_variables, batch, None, train=False
+            )
+            return loss, metrics
+
+        self._train_step = jax.jit(train_step, donate_argnums=0)
+        self._eval_step = jax.jit(eval_step)
+
+    def _resume(self, path: str) -> None:
+        payload = self.checkpoints.load(
+            path,
+            template={
+                "params": jax.device_get(self.state.params),
+                "opt_state": jax.device_get(self.state.opt_state),
+            },
+        )
+        self.state = self.state.replace(
+            params=replicate(payload["params"], self.mesh),
+            opt_state=replicate(payload["opt_state"], self.mesh),
+            step=jnp.asarray(payload.get("step", 0), jnp.int32),
+        )
+        self.start_epoch = int(payload.get("epoch", 0))
+        self.best_val_acc = float(payload.get("best_val_acc", -np.inf))
+        logger.info("Resumed from %s at epoch %d", path, self.start_epoch)
+
+    # ------------------------------------------------------------------
+
+    def _run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:
+        tracker = MetricsTracker(
+            mode=self.mode,
+            metric_names=self.config.metrics,
+            num_classes=self.model.num_classes,
+        )
+        t0 = time.time()
+        for step_idx, batch in enumerate(loader):
+            labels = batch.get("label")
+            device_batch = shard_batch(batch, self.mesh)
+            if train:
+                self.state, loss, metrics = self._train_step(self.state, device_batch)
+            else:
+                loss, metrics = self._eval_step(self.state, device_batch)
+            tracker.update(loss, metrics, labels=labels)
+            if train and (step_idx + 1) % self.params_cfg.log_steps == 0:
+                logger.info(
+                    "epoch %d step %d loss %.4f (%.1f samples/s)",
+                    epoch,
+                    step_idx + 1,
+                    tracker.avg_loss,
+                    tracker.sample_count / max(time.time() - t0, 1e-6),
+                )
+        metrics = tracker.epoch_metrics()
+        metrics["epoch_seconds"] = time.time() - t0
+        metrics["primary"] = tracker.primary_metric()
+        return metrics
+
+    def train(self) -> Dict[str, Any]:
+        """Run the full training loop; returns the final metric summary."""
+        cfg = self.params_cfg
+        history = []
+        for epoch in range(self.start_epoch, cfg.train_epochs):
+            # Two-stage transition (train.py:704-751): unfreeze + lower LR.
+            if self._stage == 1 and epoch >= cfg.freeze_backbone_epochs:
+                logger.info("Stage 2: unfreezing backbone at reduced LR")
+                self._stage = 2
+                self._build_step(stage=2)
+                params = jax.device_get(self.state.params)
+                self.state = self.state.replace(
+                    opt_state=replicate(self._tx.init(params), self.mesh)
+                )
+
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
+            train_metrics = self._run_epoch(self.train_loader, train=True, epoch=epoch)
+            record = {"epoch": epoch, "train": train_metrics}
+
+            if self.val_loader is not None and not cfg.skip_validation:
+                val_metrics = self._run_epoch(self.val_loader, train=False, epoch=epoch)
+                record["val"] = val_metrics
+                if val_metrics["primary"] > self.best_val_acc:
+                    self.best_val_acc = val_metrics["primary"]
+                    self.checkpoints.save_best(
+                        params=jax.device_get(self.state.params),
+                        opt_state=jax.device_get(self.state.opt_state),
+                        step=int(self.state.step),
+                        epoch=epoch,
+                        best_val_acc=self.best_val_acc,
+                    )
+
+            if self.exp_logger is not None:
+                flat = {f"train/{k}": v for k, v in train_metrics.items()}
+                if "val" in record:
+                    flat.update({f"val/{k}": v for k, v in record["val"].items()})
+                self.exp_logger.log_metrics(flat, step=epoch)
+            history.append(record)
+            logger.info("epoch %d done: %s", epoch, {k: round(v, 4) if isinstance(v, float) else v for k, v in train_metrics.items()})
+
+        final_path = self.checkpoints.save_final(
+            params=jax.device_get(self.state.params),
+            opt_state=jax.device_get(self.state.opt_state),
+            step=int(self.state.step),
+            epoch=cfg.train_epochs,
+            best_val_acc=self.best_val_acc,
+        )
+        if self.model.label_mapping is not None:
+            import json
+
+            (self.checkpoints.output_dir / "label_map.json").write_text(
+                json.dumps(self.model.label_mapping)
+            )
+        # Reflect trained weights back into the model handle.
+        self.model.variables = {
+            "params": jax.device_get(self.state.params),
+            **jax.device_get(self.state.extra_variables),
+        }
+        self.model._jit_cache.clear()
+        return {
+            "history": history,
+            "best_val_acc": self.best_val_acc,
+            "final_checkpoint": final_path,
+        }

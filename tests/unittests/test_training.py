@@ -1,0 +1,210 @@
+"""Training runtime: data pipeline, sharded train step, two-stage fine-tune,
+checkpoint/resume — all over the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import avex_tpu
+from avex_tpu.configs import (
+    DatasetCollectionConfig,
+    DatasetConfig,
+    MixupAugment,
+    ModelSpec,
+    RunConfig,
+    SchedulerConfig,
+    TrainingParams,
+)
+from avex_tpu.data import Collater, DataLoader, SyntheticAudioDataset, build_dataloaders
+from avex_tpu.training import Trainer
+
+
+def _run_config(tmp_path, epochs=2, freeze_epochs=0, **training_overrides):
+    training = dict(
+        train_epochs=epochs,
+        lr=1e-3,
+        batch_size=8,
+        optimizer="adamw",
+        weight_decay=0.01,
+        log_steps=100,
+        freeze_backbone_epochs=freeze_epochs,
+    )
+    training.update(training_overrides)
+    return RunConfig(
+        model_spec=ModelSpec(
+            name="beats",
+            pretrained=False,
+            init_config={
+                "encoder_layers": 2,
+                "encoder_embed_dim": 64,
+                "encoder_ffn_embed_dim": 96,
+                "encoder_attention_heads": 4,
+                "embed_dim": 32,
+                "dropout": 0.0,
+                "attention_dropout": 0.0,
+                "encoder_layerdrop": 0.0,
+            },
+            audio_config={
+                "representation": "raw",
+                "normalize": False,
+                "target_length_seconds": 1,
+                "window_selection": "random",
+            },
+        ),
+        training_params=TrainingParams(**training),
+        dataset_config=DatasetCollectionConfig(
+            train_datasets=[
+                DatasetConfig(name="synth_train", kind="synthetic", num_samples=64, num_classes=4)
+            ],
+            val_datasets=[
+                DatasetConfig(
+                    name="synth_val", kind="synthetic", num_samples=16, num_classes=4, seed=7
+                )
+            ],
+        ),
+        output_dir=str(tmp_path / "run"),
+        scheduler=SchedulerConfig(name="cosine", warmup_steps=4),
+        metrics=["accuracy"],
+        seed=0,
+        num_workers=0,
+    )
+
+
+def test_collater_shapes_and_masks():
+    ds = SyntheticAudioDataset(DatasetConfig(name="s", kind="synthetic", num_samples=8, num_classes=3, clip_seconds=0.5))
+    collater = Collater(target_len=16000, num_classes=3, train=False)
+    batch = collater([ds[i] for i in range(4)])
+    assert batch["raw_wav"].shape == (4, 16000)
+    assert batch["padding_mask"].shape == (4, 16000)
+    # 0.5s clips padded to 1s: second half masked True
+    assert batch["padding_mask"][:, 8000:].all()
+    assert not batch["padding_mask"][:, :8000].any()
+    # reference collater always one-hot encodes labels (dataset.py:342-373)
+    assert batch["label"].shape == (4, 3)
+    np.testing.assert_allclose(batch["label"].sum(axis=1), 1.0)
+    int_collater = Collater(target_len=16000, num_classes=3, one_hot=False, train=False)
+    assert int_collater([ds[i] for i in range(4)])["label"].shape == (4,)
+
+
+def test_collater_one_hot_and_mixup():
+    ds = SyntheticAudioDataset(DatasetConfig(name="s", kind="synthetic", num_samples=8, num_classes=3))
+    collater = Collater(
+        target_len=8000,
+        num_classes=3,
+        one_hot=True,
+        augmentations=[MixupAugment(alpha=0.4, augmentation_prob=1.0)],
+        train=True,
+    )
+    batch = collater([ds[i] for i in range(6)])
+    assert batch["label"].shape == (6, 3)
+    np.testing.assert_allclose(batch["label"].sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_dataloader_deterministic_shuffle():
+    ds = SyntheticAudioDataset(DatasetConfig(name="s", kind="synthetic", num_samples=32, num_classes=4))
+    collater = Collater(target_len=4000, num_classes=4, train=False)
+    loader = DataLoader(ds, batch_size=8, collate_fn=collater, shuffle=True, seed=3)
+    loader.set_epoch(0)
+    first = [b["label"].copy() for b in loader]
+    loader.set_epoch(0)
+    again = [b["label"].copy() for b in loader]
+    for a, b in zip(first, again):
+        np.testing.assert_array_equal(a, b)
+    loader.set_epoch(1)
+    different = [b["label"].copy() for b in loader]
+    assert any(not np.array_equal(a, b) for a, b in zip(first, different))
+
+
+def test_build_dataloaders(tmp_path):
+    config = _run_config(tmp_path)
+    train, val, test, label_map, num_classes = build_dataloaders(config)
+    assert num_classes == 4
+    assert label_map == {f"class_{i}": i for i in range(4)}
+    assert test is None
+    batch = next(iter(train))
+    assert batch["raw_wav"].shape == (8, 16000)
+    assert len(train) == 8
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end(tmp_path):
+    """Loss decreases and accuracy beats chance on separable synthetic data."""
+    config = _run_config(tmp_path, epochs=3)
+    train, val, _test, _label_map, num_classes = build_dataloaders(config)
+    model = avex_tpu.build_model_from_spec(config.model_spec, num_classes=num_classes)
+    trainer = Trainer(model, config, train, val)
+    result = trainer.train()
+
+    history = result["history"]
+    assert len(history) == 3
+    first_loss = history[0]["train"]["loss"]
+    last_loss = history[-1]["train"]["loss"]
+    assert last_loss < first_loss, (first_loss, last_loss)
+    assert history[-1]["val"]["accuracy"] > 0.3  # 4 classes, chance = 0.25
+    assert trainer.checkpoints.exists("final_model")
+    assert trainer.checkpoints.exists("best_model")
+
+
+@pytest.mark.slow
+def test_trainer_two_stage_and_resume(tmp_path):
+    config = _run_config(tmp_path, epochs=2, freeze_epochs=1)
+    train, val, _t, _lm, num_classes = build_dataloaders(config)
+    model = avex_tpu.build_model_from_spec(config.model_spec, num_classes=num_classes)
+
+    import jax
+
+    initial_backbone = jax.device_get(model.variables["params"]["backbone"])
+    trainer = Trainer(model, config, train, val)
+
+    # Stage 1 (epoch 0): backbone frozen — run one epoch manually and check.
+    trainer._run_epoch(train, train=True, epoch=0)
+    frozen_backbone = jax.device_get(trainer.state.params["backbone"])
+    leaves_before = jax.tree_util.tree_leaves(initial_backbone)
+    leaves_after = jax.tree_util.tree_leaves(frozen_backbone)
+    for a, b in zip(leaves_before, leaves_after):
+        np.testing.assert_array_equal(a, b)
+
+    result = trainer.train()
+    assert result["final_checkpoint"]
+
+    # Backbone changed after stage 2.
+    final_backbone = jax.device_get(trainer.state.params["backbone"])
+    changed = any(
+        not np.array_equal(a, b)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(initial_backbone),
+            jax.tree_util.tree_leaves(final_backbone),
+        )
+    )
+    assert changed
+
+    # Resume from the final checkpoint.
+    config2 = _run_config(tmp_path, epochs=2, freeze_epochs=0)
+    config2 = config2.model_copy(
+        update={"resume_from_checkpoint": result["final_checkpoint"]}
+    )
+    model2 = avex_tpu.build_model_from_spec(config2.model_spec, num_classes=num_classes)
+    trainer2 = Trainer(model2, config2, train, val)
+    resumed = jax.device_get(trainer2.state.params["backbone"])
+    for a, b in zip(
+        jax.tree_util.tree_leaves(final_backbone), jax.tree_util.tree_leaves(resumed)
+    ):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_sharding_runs_on_8_devices(tmp_path):
+    """The train step must actually shard the batch over all 8 CPU devices."""
+    import jax
+
+    assert len(jax.devices()) == 8
+    config = _run_config(tmp_path, epochs=1)
+    train, _v, _t, _lm, num_classes = build_dataloaders(config)
+    model = avex_tpu.build_model_from_spec(config.model_spec, num_classes=num_classes)
+    trainer = Trainer(model, config, train)
+    batch = next(iter(train))
+    from avex_tpu.parallel import shard_batch
+
+    device_batch = shard_batch(batch, trainer.mesh)
+    shardings = {d.device for d in device_batch["raw_wav"].addressable_shards}
+    assert len(shardings) == 8
+    trainer.state, loss, _metrics = trainer._train_step(trainer.state, device_batch)
+    assert np.isfinite(float(loss))
