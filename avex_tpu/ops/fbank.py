@@ -128,8 +128,12 @@ def _fused_frame_matrices(
 
 
 @functools.lru_cache(maxsize=16)
-def _fbank_constants(key: Tuple) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-config cached (conv kernel, mel bank) constants."""
+def _fbank_constants(key: Tuple) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-config cached (conv kernel, mel bank) constants.
+
+    Cached as numpy (NOT jnp) so the cache is safe across jit traces — a
+    jnp array created inside a trace would leak that trace's tracer.
+    """
     (n_mels, sr, win, _hop, wtype, preemph, dc, lo, hi) = key
     n_fft = 1
     while n_fft < win:
@@ -138,7 +142,7 @@ def _fbank_constants(key: Tuple) -> Tuple[jnp.ndarray, jnp.ndarray]:
     mel_fb = kaldi_mel_banks(n_fft, n_mels, sr, lo, hi)
     # conv kernel layout: [out_channels = 2K, in_channels = 1, width = win]
     kernel = frame_mat.T[:, None, :].astype(np.float32)
-    return jnp.asarray(kernel), jnp.asarray(mel_fb.astype(np.float32))
+    return kernel, mel_fb.astype(np.float32)
 
 
 def num_frames(num_samples: int, win_length: int, hop_length: int) -> int:
@@ -208,7 +212,8 @@ class KaldiFbank:
         Returns:
             ``[B, num_frames, num_mel_bins]`` log-mel features (float32).
         """
-        kernel, mel_fb = _fbank_constants(self._key)
+        kernel_np, mel_fb_np = _fbank_constants(self._key)
+        kernel, mel_fb = jnp.asarray(kernel_np), jnp.asarray(mel_fb_np)
         squeeze = waveforms.ndim == 1
         if squeeze:
             waveforms = waveforms[None]

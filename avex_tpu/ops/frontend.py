@@ -62,11 +62,12 @@ def htk_mel_banks(
 
 
 @functools.lru_cache(maxsize=16)
-def _stft_kernel(n_fft: int, win_length: int, window: str) -> jnp.ndarray:
+def _stft_kernel(n_fft: int, win_length: int, window: str) -> np.ndarray:
     """Windowed-rDFT conv kernel ``[2K, 1, n_fft]`` (cos rows then sin rows).
 
     When ``win_length < n_fft`` the window is centered inside the frame, as
-    ``torch.stft`` does.
+    ``torch.stft`` does. Cached as numpy so the cache never captures a jit
+    tracer.
     """
     win = _periodic_window(win_length, window)
     full = np.zeros(n_fft, dtype=np.float64)
@@ -79,7 +80,7 @@ def _stft_kernel(n_fft: int, win_length: int, window: str) -> jnp.ndarray:
     mat = np.concatenate(
         [full[:, None] * np.cos(angle), full[:, None] * -np.sin(angle)], axis=1
     )  # [n_fft, 2K]
-    return jnp.asarray(mat.T[:, None, :].astype(np.float32))
+    return mat.T[:, None, :].astype(np.float32)
 
 
 def stft_power(
@@ -96,7 +97,7 @@ def stft_power(
     ``center=True`` reflect-pads by ``n_fft // 2`` on both sides (torch's
     default padding mode), yielding ``1 + T // hop`` frames.
     """
-    kernel = _stft_kernel(n_fft, win_length, window)
+    kernel = jnp.asarray(_stft_kernel(n_fft, win_length, window))
     x = waveform.astype(jnp.float32)
     if x.ndim == 1:
         x = x[None]
@@ -136,8 +137,8 @@ class AudioProcessor:
         self.normalize = cfg.normalize
         self.center = cfg.center
         if self.representation == "mel_spectrogram":
-            self._mel_fb = jnp.asarray(
-                htk_mel_banks(self.n_fft // 2 + 1, self.n_mels, self.sr).astype(np.float32)
+            self._mel_fb = htk_mel_banks(self.n_fft // 2 + 1, self.n_mels, self.sr).astype(
+                np.float32
             )
 
     def __call__(self, waveform: jnp.ndarray) -> jnp.ndarray:
@@ -156,7 +157,10 @@ class AudioProcessor:
         )
         if self.representation == "mel_spectrogram":
             out = jnp.einsum(
-                "bkf,km->bmf", power, self._mel_fb, precision=jax.lax.Precision.HIGHEST
+                "bkf,km->bmf",
+                power,
+                jnp.asarray(self._mel_fb),
+                precision=jax.lax.Precision.HIGHEST,
             )
         elif self.representation == "spectrogram":
             out = power

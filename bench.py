@@ -1,0 +1,110 @@
+"""Headline benchmark: BEATs embedding-extraction throughput (clips/sec/chip).
+
+Measures the north-star metric from BASELINE.json: full-size (12-layer, 768-d)
+BEATs forward over 5s @ 16 kHz clips on one TPU chip, in the parity-safe
+numeric configuration (fp32 params, HIGHEST-precision frontend — the same
+path the fingerprint tests validate). The CPU baseline is the reference torch
+implementation measured on this host (override with AVEX_CPU_BASELINE to skip
+the torch run).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _measure_tpu(batch_size: int = 128, clip_seconds: int = 5, iters: int = 5) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from avex_tpu.models.beats import BEATsBackbone, BEATsConfig
+
+    cfg = BEATsConfig(
+        dropout=0.0, attention_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0
+    )
+    model = BEATsBackbone(cfg=cfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, clip_seconds * 16000), jnp.float32),
+    )
+    # Mean-pooled embedding reduced to a scalar checksum: forces the full
+    # forward while keeping the host fetch tiny. Timing uses a per-call
+    # host sync (float()) — block_until_ready is not reliable through the
+    # remote-TPU tunnel used in this environment.
+    fwd = jax.jit(lambda v, w: model.apply(v, w)[0].mean(axis=1).sum())
+
+    n = batch_size
+    wavs = [
+        jnp.asarray((rng.standard_normal((n, clip_seconds * 16000)) * 0.1).astype(np.float32))
+        for _ in range(iters)
+    ]
+    float(fwd(variables, wavs[0]))  # compile + warmup
+    t0 = time.perf_counter()
+    for wav in wavs:
+        float(fwd(variables, wav))
+    elapsed = time.perf_counter() - t0
+    clips_per_sec = n * iters / elapsed
+    return {
+        "clips_per_sec": clips_per_sec,
+        "batch_size": n,
+        "iters": iters,
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+    }
+
+
+def _measure_cpu_reference(batch_size: int = 4, clip_seconds: int = 5, iters: int = 3) -> float:
+    """Reference torch BEATs on host CPU (the baseline we must beat 10x)."""
+    env = os.environ.get("AVEX_CPU_BASELINE")
+    if env:
+        return float(env)
+    try:
+        import torch
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.utils.reference_oracle import load_reference_beats
+
+        ref = load_reference_beats()
+        cfg = ref.beats.BEATsConfig(
+            dropout=0.0, attention_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0
+        )
+        torch.manual_seed(0)
+        model = ref.beats.BEATs(cfg).eval()
+        wav = torch.randn(batch_size, clip_seconds * 16000) * 0.1
+        with torch.no_grad():
+            model(wav, disable_layerdrop=True)  # warmup
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                model(wav, disable_layerdrop=True)
+            elapsed = time.perf_counter() - t0
+        return batch_size * iters / elapsed
+    except Exception as err:  # pragma: no cover
+        print(f"# cpu baseline measurement failed ({err}); using recorded 2.0", file=sys.stderr)
+        return 2.0
+
+
+def main() -> None:
+    tpu = _measure_tpu()
+    cpu_clips_per_sec = _measure_cpu_reference()
+    result = {
+        "metric": "beats_embedding_extraction_5s16k",
+        "value": round(tpu["clips_per_sec"], 2),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(tpu["clips_per_sec"] / cpu_clips_per_sec, 2),
+        "cpu_reference_clips_per_sec": round(cpu_clips_per_sec, 2),
+        "batch_size": tpu["batch_size"],
+        "backend": tpu["backend"],
+        "device": tpu["device"],
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
