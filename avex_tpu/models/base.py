@@ -194,6 +194,32 @@ class ModelBase:
             raise ValueError(f"Unsupported aggregation method: {aggregation}")
         raise ValueError(f"Unexpected embedding dimension: {emb.ndim}. Expected 2 or 3.")
 
+    def extract_fn(self, layers: Tuple[str, ...], aggregation: str):
+        """Pure (variables, x, padding_mask) → embeddings extraction function.
+
+        Encodes the reference's output contract (base_model.py:426-453):
+        ``aggregation == "none"`` yields per-layer activations (single array
+        or tuple); otherwise layers are pooled and concatenated into one
+        feature vector. Usable directly inside jitted train steps.
+        """
+
+        def extract(variables, x, padding_mask):
+            _, aux = self.module.apply(variables, x, padding_mask, **self._apply_kwargs())
+            inter = aux["intermediates"]
+            missing = [name for name in layers if name not in inter]
+            if missing:
+                raise ValueError(
+                    f"Some requested layers did not produce outputs: {missing}. "
+                    f"Available: {list(inter.keys())}"
+                )
+            embs = [inter[name] for name in layers]
+            if aggregation == "none":
+                return embs[0] if len(embs) == 1 else tuple(embs)
+            embs = [self._aggregate(e, aggregation) for e in embs]
+            return embs[0] if len(embs) == 1 else jnp.concatenate(embs, axis=1)
+
+        return extract
+
     def extract_embeddings(
         self,
         x: Union[jnp.ndarray, Dict[str, jnp.ndarray]],
@@ -216,24 +242,10 @@ class ModelBase:
             padding_mask = x.get("padding_mask", padding_mask)
             x = x["raw_wav"]
         layers = tuple(self._hook_layers)
-
-        def extract(variables, x, padding_mask):
-            _, aux = self.module.apply(variables, x, padding_mask, **self._apply_kwargs())
-            inter = aux["intermediates"]
-            missing = [name for name in layers if name not in inter]
-            if missing:
-                raise ValueError(
-                    f"Some requested layers did not produce outputs: {missing}. "
-                    f"Available: {list(inter.keys())}"
-                )
-            embs = [inter[name] for name in layers]
-            if aggregation == "none":
-                return embs[0] if len(embs) == 1 else tuple(embs)
-            embs = [self._aggregate(e, aggregation) for e in embs]
-            return embs[0] if len(embs) == 1 else jnp.concatenate(embs, axis=1)
-
         has_mask = padding_mask is not None
-        fn = self._jit(("extract", layers, aggregation, has_mask), extract)
+        fn = self._jit(
+            ("extract", layers, aggregation, has_mask), self.extract_fn(layers, aggregation)
+        )
         out = fn(self.variables, jnp.asarray(x), padding_mask)
         return list(out) if isinstance(out, tuple) else out
 

@@ -92,8 +92,15 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         except TypeError:
             return False
 
+    data_size = mesh.shape[mesh.axis_names[0]]
+
     def put(x):
         x = np.asarray(x)
+        # Remainder batches (e.g. a drop_last=False tail) that don't divide
+        # the data axis are replicated instead — correct, and the odd shape
+        # triggers its own jit specialization anyway.
+        if x.ndim == 0 or x.shape[0] % data_size != 0:
+            return jax.device_put(x, replicated_sharding(mesh))
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
     if isinstance(batch, dict):

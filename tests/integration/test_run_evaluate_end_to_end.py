@@ -1,0 +1,155 @@
+"""End-to-end evaluation harness on a tiny synthetic benchmark.
+
+Mirrors the reference's eval_end_to_end_harness
+(tests/integration/eval_end_to_end_harness.py:44-100 +
+test_run_evaluate_end_to_end.py): build a tiny benchmark config
+programmatically, run the full run_evaluate pipeline across probe types ×
+offline/online, and check metrics, cache reuse and persisted artifacts.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from avex_tpu.configs import (
+    BenchmarkEvaluationConfig,
+    DatasetConfig,
+    EvaluateConfig,
+    EvaluationSet,
+    ExperimentConfig,
+    ModelSpec,
+    ProbeConfig,
+    RunConfig,
+    TrainingParams,
+    DatasetCollectionConfig,
+)
+from avex_tpu.run_evaluate import main as run_evaluate_main
+
+
+def _tiny_model_spec():
+    return ModelSpec(
+        name="beats",
+        pretrained=False,
+        init_config={
+            "encoder_layers": 2,
+            "encoder_embed_dim": 64,
+            "encoder_ffn_embed_dim": 96,
+            "encoder_attention_heads": 4,
+            "embed_dim": 32,
+            "dropout": 0.0,
+            "attention_dropout": 0.0,
+            "encoder_layerdrop": 0.0,
+        },
+        audio_config={
+            "representation": "raw",
+            "normalize": False,
+            "target_length_seconds": 1,
+            "window_selection": "random",
+        },
+    )
+
+
+def _eval_config(tmp_path, probe_cfg: ProbeConfig, eval_modes):
+    def split(name, n, seed):
+        return DatasetConfig(
+            name=name, kind="synthetic", num_samples=n, num_classes=3, seed=seed,
+            clip_seconds=1.0,
+        )
+
+    eval_set = EvaluationSet(
+        name="synth_benchmark",
+        train=split("synth_train", 24, 0),
+        val=split("synth_val", 9, 1),
+        test=split("synth_test", 9, 2),
+        metrics=["accuracy", "balanced_accuracy"],
+    )
+    run_config = RunConfig(
+        model_spec=_tiny_model_spec(),
+        training_params=TrainingParams(train_epochs=1, lr=1e-3, batch_size=8),
+        dataset_config=DatasetCollectionConfig(),
+        output_dir=str(tmp_path / "runs"),
+    )
+    return EvaluateConfig(
+        experiments=[
+            ExperimentConfig(
+                run_name="tiny_beats",
+                run_config=run_config,
+                pretrained=False,
+                probe_config=probe_cfg,
+            )
+        ],
+        dataset_config=BenchmarkEvaluationConfig(
+            name="tiny_bench", evaluation_sets=[eval_set]
+        ),
+        save_dir=str(tmp_path / "eval"),
+        training_params=TrainingParams(train_epochs=4, lr=5e-3, batch_size=8),
+        device="cpu",
+        seed=42,
+        num_workers=0,
+        eval_modes=list(eval_modes),
+    )
+
+
+@pytest.mark.integration
+def test_offline_linear_probe_with_retrieval_and_clustering(tmp_path):
+    config = _eval_config(
+        tmp_path,
+        ProbeConfig(probe_type="linear", target_layers=["last_layer"], aggregation="mean"),
+        eval_modes=["probe", "retrieval", "clustering"],
+    )
+    results = run_evaluate_main(config)
+    assert len(results) == 1
+    metrics = results[0]["metrics"]
+    assert 0.0 <= metrics["probe"]["test_accuracy"] <= 1.0
+    assert metrics["probe"]["test_accuracy"] >= 0.3  # separable synthetic, chance=1/3
+    assert "roc_auc" in metrics["retrieval"]
+    assert "ari" in metrics["clustering"]
+
+    # Persisted artifacts.
+    save_dir = Path(config.save_dir)
+    assert (save_dir / "evaluation_metadata.jsonl").exists()
+    assert (save_dir / "summary.csv").exists()
+    caches = list((save_dir / "embeddings").rglob("*.h5"))
+    assert caches, "embedding caches were not written"
+
+    # Second run must reuse the cache (files untouched).
+    mtimes = {p: p.stat().st_mtime for p in caches}
+    run_evaluate_main(config)
+    for p, mtime in mtimes.items():
+        assert p.stat().st_mtime == mtime, f"cache {p} was recomputed"
+
+
+@pytest.mark.integration
+def test_online_attention_probe(tmp_path):
+    config = _eval_config(
+        tmp_path,
+        ProbeConfig(
+            probe_type="attention",
+            target_layers=["all"],
+            aggregation="none",
+            num_heads=4,
+            num_layers=1,
+            online_training=True,
+        ),
+        eval_modes=["probe"],
+    )
+    results = run_evaluate_main(config)
+    assert 0.0 <= results[0]["metrics"]["probe"]["test_accuracy"] <= 1.0
+
+
+@pytest.mark.integration
+def test_online_unfrozen_finetune(tmp_path):
+    config = _eval_config(
+        tmp_path,
+        ProbeConfig(
+            probe_type="linear",
+            target_layers=["last_layer"],
+            aggregation="mean",
+            freeze_backbone=False,
+        ),
+        eval_modes=["probe"],
+    )
+    results = run_evaluate_main(config)
+    assert 0.0 <= results[0]["metrics"]["probe"]["test_accuracy"] <= 1.0
