@@ -1,0 +1,13 @@
+"""Console entry point printing the model registry (≈ avex/api/list_models.py:17-63)."""
+
+from __future__ import annotations
+
+
+def main() -> None:
+    from avex_tpu.models.registry import list_models
+
+    list_models(verbose=True)
+
+
+if __name__ == "__main__":
+    main()
