@@ -260,17 +260,11 @@ class ModelBase:
         if not self._hook_layers:
             raise ValueError("No hooks registered. Call register_hooks_for_layers() first.")
         layers = tuple(self._hook_layers)
+        extract = self.extract_fn(layers, aggregation)
 
         def shapes_fn(variables, x):
-            _, aux = self.module.apply(variables, x, None, **self._apply_kwargs())
-            inter = aux["intermediates"]
-            embs = [inter[name] for name in layers]
-            if aggregation != "none":
-                # Mirrors extract_embeddings: pooled layers concatenate into
-                # one feature vector (base_model.py:449-453).
-                embs = [self._aggregate(e, aggregation) for e in embs]
-                return (embs[0],) if len(embs) == 1 else (jnp.concatenate(embs, axis=1),)
-            return tuple(embs)
+            out = extract(variables, x, None)
+            return out if isinstance(out, tuple) else (out,)
 
         out = jax.eval_shape(
             shapes_fn, self.variables, jax.ShapeDtypeStruct(tuple(input_shape), jnp.float32)

@@ -59,6 +59,9 @@ def build_model_from_spec(
         value = getattr(spec, field, None)
         if value is not None:
             kwargs[field] = value
+    # Variant-style architectures (resnet18/50/152) share one Model class that
+    # takes the concrete variant name (≈ registry name-mapping special cases).
+    kwargs.setdefault("variant", spec.name)
     kwargs.update(overrides)
 
     signature = inspect.signature(cls.__init__)
