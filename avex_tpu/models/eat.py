@@ -1,0 +1,273 @@
+"""EAT (Efficient Audio Transformer / data2vec-2.0 image encoder) in Flax.
+
+TPU-native counterpart of ``avex/models/eat_hf.py`` (which wraps the HF
+remote-code Data2Vec-multi backbone ``worstchan/EAT-base_epoch30_pretrain``):
+
+- frontend: batched Hann-window Kaldi fbank normalized with AudioSet stats
+  (``avex_tpu.ops.fbank.eat_fbank`` — the reference loops per-sample on CPU,
+  eat/audio_processor.py:102-126; here it is one fused TPU conv);
+- backbone: ViT-base over the (1, 128, 1024) spectrogram image — 16x16 conv
+  patch embed, fixed 2-D sin-cos positions (MAE convention), prepended CLS
+  token, 12 pre-norm blocks (fused-qkv attention, 4x GELU MLP), final norm;
+- embedding taps: ``backbone.model.blocks.{i}.attn.proj`` outputs
+  (eat_hf.py:220-236).
+
+Weight conversion accepts both the ESP wrapper export naming
+(``backbone.model.blocks...``) and raw fairseq data2vec naming
+(``modality_encoders.IMAGE...``, the remapping mirrored from
+eat_hf.py:43-103).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avex_tpu.models.base import ModelBase
+from avex_tpu.ops.attention import dot_product_attention
+from avex_tpu.ops.fbank import KaldiFbank, eat_fbank
+from avex_tpu.utils.tree import merge_converted_params
+
+__all__ = ["EATModel", "Model", "convert_eat_state_dict", "sincos_2d_positions"]
+
+
+def sincos_2d_positions(embed_dim: int, grid_h: int, grid_w: int) -> np.ndarray:
+    """MAE-style fixed 2-D sin-cos positional table ``[grid_h*grid_w, dim]``."""
+
+    def _1d(dim: int, positions: np.ndarray) -> np.ndarray:
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = np.einsum("p,d->pd", positions.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid = np.meshgrid(np.arange(grid_w, dtype=np.float64), np.arange(grid_h, dtype=np.float64))
+    grid = np.stack(grid)  # [2, h, w] (w-coordinate first, MAE convention)
+    emb_h = _1d(embed_dim // 2, grid[0])
+    emb_w = _1d(embed_dim // 2, grid[1])
+    return np.concatenate([emb_h, emb_w], axis=1).astype(np.float32)
+
+
+class _Block(nn.Module):
+    """Pre-norm ViT block with fused-qkv attention (data2vec AltBlock)."""
+
+    dim: int = 768
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        bsz, seq, dim = x.shape
+        head_dim = dim // self.heads
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(h)
+        qkv = qkv.reshape(bsz, seq, 3, self.heads, head_dim)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        attn = dot_product_attention(q, k, v, scale=head_dim**-0.5)
+        attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
+        proj_out = nn.Dense(dim, dtype=self.dtype, name="proj")(attn)
+        x = x + proj_out
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        h = nn.Dense(int(dim * self.mlp_ratio), dtype=self.dtype, name="fc1")(h)
+        h = jax.nn.gelu(h, approximate=False)
+        h = nn.Dense(dim, dtype=self.dtype, name="fc2")(h)
+        x = x + h
+        return x, proj_out
+
+
+class EATModel(nn.Module):
+    """EAT backbone + optional classifier, ``(output, aux)`` contract.
+
+    Input is raw waveform ``(B, T)``; the fbank frontend runs inside the
+    module (fp32-pinned) so the whole path is one compiled program.
+    """
+
+    num_classes: Optional[int] = None
+    target_length: int = 1024
+    norm_mean: float = -4.268
+    norm_std: float = 4.569
+    depth: int = 12
+    dim: int = 768
+    heads: int = 12
+    patch_size: int = 16
+    pooling: str = "cls"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        padding_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        if x.ndim == 2:  # raw waveform
+            fbank = KaldiFbank(window_type="hanning")
+            spec = eat_fbank(
+                x,
+                target_length=self.target_length,
+                norm_mean=self.norm_mean,
+                norm_std=self.norm_std,
+                fbank=fbank,
+            )  # (B, 128, T)
+        else:
+            spec = x
+        # (B, F, T) -> NHWC image (B, F, T, 1)
+        img = spec[:, :, :, None].astype(self.dtype)
+        h = nn.Conv(
+            self.dim,
+            (self.patch_size, self.patch_size),
+            strides=(self.patch_size, self.patch_size),
+            padding="VALID",
+            dtype=self.dtype,
+            name="patch_embed",
+        )(img)
+        bsz, gh, gw, _ = h.shape
+        tokens = h.reshape(bsz, gh * gw, self.dim)
+
+        pos = jnp.asarray(sincos_2d_positions(self.dim, gh, gw))
+        tokens = tokens + pos[None].astype(self.dtype)
+
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="pre_norm")(tokens)
+
+        cls = self.param(
+            "cls_token", nn.initializers.normal(0.02), (1, 1, self.dim), jnp.float32
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (bsz, 1, self.dim)), tokens], axis=1
+        )
+
+        intermediates: Dict[str, jnp.ndarray] = {}
+        for i in range(self.depth):
+            block = _Block(dim=self.dim, heads=self.heads, dtype=self.dtype, name=f"blocks_{i}")
+            tokens, proj_out = block(tokens, deterministic)
+            intermediates[f"backbone.model.blocks.{i}.attn.proj"] = proj_out
+
+        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
+        aux = {"intermediates": intermediates, "features": tokens}
+        aux["pooled"] = tokens[:, 0] if self.pooling == "cls" else tokens.mean(axis=1)
+
+        if self.num_classes is None:
+            return tokens, aux
+        logits = nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(aux["pooled"])
+        return logits, aux
+
+
+def convert_eat_state_dict(
+    state: Dict[str, np.ndarray], num_classes: Optional[int] = None
+) -> Dict[str, Any]:
+    """ESP-wrapper / fairseq EAT state dict → flax variables.
+
+    Key normalization mirrors the reference's fairseq→HF remapping
+    (eat_hf.py:53-75): ``modality_encoders.IMAGE.context_encoder.norm`` →
+    ``pre_norm``, the IMAGE modality prefix and bare keys both root at
+    ``model.``; wrapper exports arrive as ``backbone.model.*``.
+    """
+    normalized: Dict[str, np.ndarray] = {}
+    for key, value in state.items():
+        if key.startswith("_ema") or ".decoder." in key or key.startswith("decoder."):
+            continue
+        k = key
+        if k.startswith("backbone."):
+            k = k[len("backbone.") :]
+        if k == "modality_encoders.IMAGE.context_encoder.norm.weight":
+            k = "model.pre_norm.weight"
+        elif k == "modality_encoders.IMAGE.context_encoder.norm.bias":
+            k = "model.pre_norm.bias"
+        elif k.startswith("modality_encoders.IMAGE."):
+            k = "model." + k[len("modality_encoders.IMAGE.") :]
+        elif not k.startswith(("model.", "classifier.")):
+            k = "model." + k
+        normalized[k] = value
+
+    params: Dict[str, Any] = {}
+
+    def put(path, value):
+        node = params
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = jnp.asarray(np.asarray(value, np.float32))
+
+    for key, value in normalized.items():
+        if key in ("model.local_encoder.proj.weight", "model.patch_embed.proj.weight"):
+            put(("patch_embed", "kernel"), np.transpose(value, (2, 3, 1, 0)))
+        elif key in ("model.local_encoder.proj.bias", "model.patch_embed.proj.bias"):
+            put(("patch_embed", "bias"), value)
+        elif key == "model.extra_tokens":
+            put(("cls_token",), np.asarray(value).reshape(1, 1, -1))
+        elif key == "model.cls_token":
+            put(("cls_token",), np.asarray(value).reshape(1, 1, -1))
+        elif key.startswith("model.pre_norm."):
+            put(("pre_norm", "scale" if key.endswith("weight") else "bias"), value)
+        elif key.startswith("model.norm."):
+            put(("norm", "scale" if key.endswith("weight") else "bias"), value)
+        elif key.startswith("model.blocks."):
+            parts = key.split(".")
+            idx, sub = parts[2], parts[3:]
+            base = (f"blocks_{idx}",)
+            if sub[0] in ("norm1", "norm2"):
+                put(base + (sub[0], "scale" if sub[1] == "weight" else "bias"), value)
+            elif sub[0] == "attn" and sub[1] in ("qkv", "proj"):
+                which = "kernel" if sub[2] == "weight" else "bias"
+                put(base + (sub[1], which), value.T if which == "kernel" else value)
+            elif sub[0] == "mlp" and sub[1] in ("fc1", "fc2"):
+                which = "kernel" if sub[2] == "weight" else "bias"
+                put(base + (sub[1], which), value.T if which == "kernel" else value)
+        elif key.startswith("classifier.") and num_classes is not None:
+            which = "kernel" if key.endswith("weight") else "bias"
+            put(("classifier", which), value.T if which == "kernel" else value)
+    return {"params": params}
+
+
+class Model(ModelBase):
+    """EAT wrapper registered as ``eat_hf`` (≈ avex/models/eat_hf.py)."""
+
+    def __init__(
+        self,
+        device: str = "tpu",
+        num_classes: Optional[int] = None,
+        pretrained: bool = False,
+        audio_config: Optional[Dict[str, Any]] = None,
+        eat_norm_mean: float = -4.268,
+        eat_norm_std: float = 4.569,
+        target_length: int = 1024,
+        pooling: str = "cls",
+        return_features_only: bool = False,
+        compute_dtype: str = "float32",
+        seed: int = 0,
+    ) -> None:
+        super().__init__(device=device, audio_config=audio_config)
+        self.num_classes = None if return_features_only else num_classes
+        self.depth = 12
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self.module = EATModel(
+            num_classes=self.num_classes,
+            target_length=target_length,
+            norm_mean=eat_norm_mean,
+            norm_std=eat_norm_std,
+            pooling=pooling,
+            dtype=dtype,
+        )
+        # Init on a short clip: param shapes are length-independent (fixed
+        # sincos positions are computed per grid at trace time).
+        dummy = jnp.zeros((1, 16000), jnp.float32)
+        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+
+    def _apply_kwargs(self) -> Dict[str, Any]:
+        return {"deterministic": True}
+
+    def _discover_embedding_layers(self) -> None:
+        if not self._layer_names:
+            self._layer_names = [
+                f"backbone.model.blocks.{i}.attn.proj" for i in range(self.depth)
+            ]
+
+    def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        converted = convert_eat_state_dict(state, num_classes=self.num_classes)
+        self.variables = merge_converted_params(self.variables, converted, strict=strict)
+        self._jit_cache.clear()
