@@ -86,7 +86,7 @@ def clip_loss(
     """
     audio = audio_features / jnp.linalg.norm(audio_features, axis=-1, keepdims=True)
     text = text_features / jnp.linalg.norm(text_features, axis=-1, keepdims=True)
-    scale = jnp.exp(jnp.clip(logit_scale, a_max=MAX_LOGIT_SCALE))
+    scale = jnp.exp(jnp.clip(logit_scale, max=MAX_LOGIT_SCALE))
     logits_a2t = scale * (audio @ text.T).astype(jnp.float32)
     logits_t2a = logits_a2t.T
     n = logits_a2t.shape[0]
