@@ -1,0 +1,127 @@
+"""Perch / SurfPerch bird-vocalization classifiers in Flax.
+
+TPU-native counterpart of ``avex/models/perch.py`` and ``surfperch.py``
+(TF-Hub wrappers around Google's bird-vocalization-classifier v4). Perch is
+an EfficientNet-B1 over a log-mel front end; here the wrapper *interface* is
+reproduced exactly — 32 kHz input, 5 s center-crop/pad (perch.py:153-185),
+1280-d embeddings plus 10932-class logits, no-op embedding hooks
+(perch.py:117-152) — on top of our Flax EfficientNet-B1.
+
+Weights: the published checkpoints live in TF-Hub SavedModel format. This
+build has no TensorFlow, so conversion happens offline (TF → numpy state
+dict via ``scripts/convert_perch_tf.py``) and loads through
+``load_state_dict``; without a converted checkpoint the model runs with
+random weights (useful for interface/throughput work only).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avex_tpu.models.base import ModelBase
+from avex_tpu.models.efficientnet import EfficientNetModel, convert_efficientnet_state_dict
+from avex_tpu.ops.frontend import htk_mel_banks, stft_power
+from avex_tpu.utils.tree import merge_converted_params
+
+__all__ = ["Model", "SurfPerchModel", "PERCH_NUM_CLASSES"]
+
+PERCH_NUM_CLASSES = 10932
+PERCH_SAMPLE_RATE = 32000
+PERCH_WINDOW_SECONDS = 5.0
+
+
+def perch_frontend(wav: jnp.ndarray) -> jnp.ndarray:
+    """32 kHz waveform → log-mel ``(B, 160 mels, frames)`` (chirp-style)."""
+    power = stft_power(wav, n_fft=2048, hop_length=320, win_length=640)
+    mel_fb = jnp.asarray(
+        htk_mel_banks(1025, 160, PERCH_SAMPLE_RATE, f_min=60.0, f_max=10000.0).astype(np.float32)
+    )
+    mel = jnp.einsum("bkf,km->bmf", power, mel_fb)
+    return jnp.log(jnp.maximum(mel, 1e-6))
+
+
+class Model(ModelBase):
+    """Perch wrapper registered as ``perch`` (and ``surfperch``)."""
+
+    model_family = "perch"
+
+    def __init__(
+        self,
+        device: str = "tpu",
+        num_classes: Optional[int] = None,
+        pretrained: bool = False,
+        audio_config: Optional[Dict[str, Any]] = None,
+        return_features_only: bool = False,
+        compute_dtype: str = "float32",
+        seed: int = 0,
+        **_ignored: Any,
+    ) -> None:
+        super().__init__(device=device, audio_config=audio_config)
+        self.num_classes = PERCH_NUM_CLASSES
+        self.window_samples = int(PERCH_WINDOW_SECONDS * PERCH_SAMPLE_RATE)
+        dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        self.module = EfficientNetModel(variant="b1", num_classes=PERCH_NUM_CLASSES, dtype=dtype)
+        dummy = jnp.zeros((1, 3, 160, 64), jnp.float32)
+        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self._return_features_only = return_features_only
+
+    def _apply_kwargs(self) -> Dict[str, Any]:
+        return {"train": False, "deterministic": True}
+
+    def _discover_embedding_layers(self) -> None:
+        # The reference's TF graph is opaque: hooks are documented no-ops
+        # (perch.py:117-152). One logical tap (the pooled embedding) exists.
+        if not self._layer_names:
+            self._layer_names = ["embedding"]
+
+    def _prepare(self, x: jnp.ndarray) -> jnp.ndarray:
+        """5 s center-crop/pad at 32 kHz (perch.py:153-185), then frontend."""
+        x = jnp.asarray(x, jnp.float32)
+        if x.ndim == 1:
+            x = x[None]
+        length = x.shape[-1]
+        target = self.window_samples
+        if length > target:
+            start = (length - target) // 2
+            x = x[..., start : start + target]
+        elif length < target:
+            x = jnp.pad(x, ((0, 0), (0, target - length)))
+        spec = perch_frontend(x)
+        return jnp.repeat(spec[:, None, :, :], 3, axis=1)
+
+    def forward(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray] = None):
+        """Returns 10932-class logits; ``infer`` exposes the full dict."""
+        return self.infer(x)["logits"]
+
+    __call__ = forward
+
+    def infer(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        spec = self._prepare(x)
+
+        def fwd(variables, spec):
+            logits, aux = self.module.apply(variables, spec, None, **self._apply_kwargs())
+            return logits, aux["pooled"]
+
+        logits, pooled = self._jit(("perch_infer",), fwd)(self.variables, spec)
+        return {"logits": logits, "embedding": pooled}
+
+    def extract_embeddings(self, x, padding_mask=None, aggregation="none", **_kw):
+        if isinstance(x, dict):
+            x = x["raw_wav"]
+        return self.infer(x)["embedding"]
+
+    def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        converted = convert_efficientnet_state_dict(state, "b1", num_classes=PERCH_NUM_CLASSES)
+        self.variables = merge_converted_params(self.variables, converted, strict=strict)
+        self._jit_cache.clear()
+
+
+class SurfPerchModel(Model):
+    """SurfPerch (marine variant) — identical interface, different weights
+    (≈ avex/models/surfperch.py)."""
+
+    model_family = "surfperch"

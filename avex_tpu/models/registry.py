@@ -46,6 +46,10 @@ _ARCH_MODULES: Dict[str, str] = {
 }
 
 
+#: architecture name → class attribute when it isn't the default ``Model``.
+_ARCH_CLASS_ATTR: Dict[str, str] = {"surfperch": "SurfPerchModel"}
+
+
 def register_model(
     name: str,
     spec: ModelSpec | Dict[str, Any],
@@ -100,9 +104,10 @@ def get_model_class(name: str) -> Type:
                 f"Known: {sorted(set(_MODEL_CLASSES) | set(_ARCH_MODULES))}"
             )
         module = importlib.import_module(module_path)
-        cls = getattr(module, "Model", None)
+        attr = _ARCH_CLASS_ATTR.get(name, "Model")
+        cls = getattr(module, attr, None)
         if cls is None:
-            raise ImportError(f"{module_path} does not define a Model class")
+            raise ImportError(f"{module_path} does not define a {attr} class")
         # resnet-style modules serve several names; let them self-describe.
         _MODEL_CLASSES.setdefault(name, cls)
     return _MODEL_CLASSES[name]

@@ -1,0 +1,94 @@
+"""ATST, BirdMAE, Perch wrappers: structure, forwards, conversion coverage."""
+
+import numpy as np
+import pytest
+
+import avex_tpu
+from avex_tpu.configs import ModelSpec
+from avex_tpu.utils.tree import count_params
+
+
+def test_atst_forward_and_timestamp_embedding(rng):
+    model = avex_tpu.build_model_from_spec(
+        ModelSpec(name="atst", pretrained=False), num_classes=None
+    )
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    timestamp = model(wav)
+    # 1s @ 16kHz -> 101 frames (center stft) -> 25 patch tokens; 768*12 feats.
+    assert timestamp.shape == (2, 25, 768 * 12)
+    layers = model.get_model_layers()
+    assert layers == [f"atst.blocks.{i}" for i in range(12)]
+    model.register_hooks_for_layers(["last_layer"])
+    emb = model.extract_embeddings(wav, aggregation="mean")
+    assert emb.shape == (2, 768)
+
+
+def test_atst_conversion(rng):
+    from avex_tpu.models.atst import Model as ATSTWrapper, convert_atst_state_dict
+
+    model = ATSTWrapper(pretrained=False)
+    params = model.variables["params"]
+    state = {
+        "patch_embed.proj.weight": np.transpose(
+            np.asarray(params["patch_embed"]["kernel"]), (3, 2, 0, 1)
+        ),
+        "patch_embed.proj.bias": np.asarray(params["patch_embed"]["bias"]),
+        "pos_embed": np.asarray(params["pos_embed"]),
+        "norm.weight": np.asarray(params["norm"]["scale"]),
+        "norm.bias": np.asarray(params["norm"]["bias"]),
+    }
+    for i in range(12):
+        node = params[f"blocks_{i}"]
+        base = f"blocks.{i}"
+        state[f"{base}.norm1.weight"] = np.asarray(node["norm1"]["scale"])
+        state[f"{base}.norm1.bias"] = np.asarray(node["norm1"]["bias"])
+        state[f"{base}.attn.qkv.weight"] = np.asarray(node["qkv"]["kernel"]).T
+        state[f"{base}.attn.proj.weight"] = np.asarray(node["proj"]["kernel"]).T
+        state[f"{base}.attn.proj.bias"] = np.asarray(node["proj"]["bias"])
+        state[f"{base}.norm2.weight"] = np.asarray(node["norm2"]["scale"])
+        state[f"{base}.norm2.bias"] = np.asarray(node["norm2"]["bias"])
+        state[f"{base}.mlp.fc1.weight"] = np.asarray(node["fc1"]["kernel"]).T
+        state[f"{base}.mlp.fc1.bias"] = np.asarray(node["fc1"]["bias"])
+        state[f"{base}.mlp.fc2.weight"] = np.asarray(node["fc2"]["kernel"]).T
+        state[f"{base}.mlp.fc2.bias"] = np.asarray(node["fc2"]["bias"])
+    converted = convert_atst_state_dict(state)
+    # qkv has no bias (qkv_bias=False): counts match exactly.
+    assert count_params(converted["params"]) == count_params(params)
+
+
+@pytest.mark.slow
+def test_birdmae_base_forward(rng):
+    model = avex_tpu.build_model_from_spec(
+        ModelSpec(name="birdmae", pretrained=False, model_id="DBD-research-group/Bird-MAE-base"),
+        num_classes=None,
+        return_features_only=True,
+    )
+    wav = rng.standard_normal((1, 32000)).astype(np.float32) * 0.1
+    feats = model(wav)
+    # (1024 frames/16) x (128 mels/16) = 64x8 = 512 patches + CLS, 768-d base
+    assert feats.shape == (1, 513, 768)
+
+
+def test_perch_interface(rng):
+    model = avex_tpu.build_model_from_spec(ModelSpec(name="perch", pretrained=False))
+    wav = rng.standard_normal((2, 32000)).astype(np.float32) * 0.1  # 1s -> padded to 5s
+    out = model.infer(wav)
+    assert out["logits"].shape == (2, 10932)
+    assert out["embedding"].shape == (2, 1280)
+    emb = model.extract_embeddings(wav)
+    assert emb.shape == (2, 1280)
+    # >5s input center-crops
+    long_wav = rng.standard_normal((1, 200000)).astype(np.float32) * 0.1
+    assert model.infer(long_wav)["logits"].shape == (1, 10932)
+
+
+def test_surfperch_class_resolution():
+    from avex_tpu.models.perch import SurfPerchModel
+
+    cls = avex_tpu.get_model_class("surfperch")
+    assert cls is SurfPerchModel
+
+
+def test_birdnet_requires_optional_dependency():
+    with pytest.raises(ImportError, match="birdnetlib"):
+        avex_tpu.build_model_from_spec(ModelSpec(name="birdnet", pretrained=False))
