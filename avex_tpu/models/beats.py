@@ -125,6 +125,7 @@ class _GatedRelPosAttention(nn.Module):
     num_heads: int
     gru_rel_pos: bool = True
     dropout: float = 0.0
+    use_pallas: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -143,26 +144,40 @@ class _GatedRelPosAttention(nn.Module):
         k = dense("k_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
         v = dense("v_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
-        bias = None
-        if position_bias is not None:
-            if self.gru_rel_pos:
-                grep_a = self.param(
-                    "grep_a", nn.initializers.ones, (1, self.num_heads, 1, 1), jnp.float32
-                )
-                gates = nn.Dense(8, dtype=self.dtype, name="grep_linear")(q)
-                gates = jax.nn.sigmoid(
-                    gates.reshape(bsz, self.num_heads, seq, 2, 4).sum(-1).astype(jnp.float32)
-                )
-                gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]
-                gate = gate_a * (gate_b * grep_a - 1.0) + 2.0  # [B, H, T, 1]
-                bias = gate * position_bias
-            else:
-                bias = position_bias
-        if key_padding_mask is not None:
-            pad = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, 0.0)
-            bias = pad if bias is None else bias + pad
+        gate = None
+        if position_bias is not None and self.gru_rel_pos:
+            grep_a = self.param(
+                "grep_a", nn.initializers.ones, (1, self.num_heads, 1, 1), jnp.float32
+            )
+            gates = nn.Dense(8, dtype=self.dtype, name="grep_linear")(q)
+            gates = jax.nn.sigmoid(
+                gates.reshape(bsz, self.num_heads, seq, 2, 4).sum(-1).astype(jnp.float32)
+            )
+            gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]
+            gate = gate_a * (gate_b * grep_a - 1.0) + 2.0  # [B, H, T, 1]
 
-        out = dot_product_attention(q, k, v, bias=bias, scale=head_dim**-0.5)
+        if self.use_pallas and position_bias is not None:
+            # Fused kernel: gate x shared-bias never materializes in HBM
+            # (avex_tpu/ops/pallas_attention.py).
+            from avex_tpu.ops.pallas_attention import gated_bias_attention
+
+            out = gated_bias_attention(
+                q,
+                k,
+                v,
+                pos_bias=position_bias[0],
+                gate=None if gate is None else gate[..., 0],
+                key_padding_mask=key_padding_mask,
+                scale=head_dim**-0.5,
+            )
+        else:
+            bias = None
+            if position_bias is not None:
+                bias = gate * position_bias if gate is not None else position_bias
+            if key_padding_mask is not None:
+                pad = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, 0.0)
+                bias = pad if bias is None else bias + pad
+            out = dot_product_attention(q, k, v, bias=bias, scale=head_dim**-0.5)
         out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, self.embed_dim)
         return dense("out_proj")(out)
 
@@ -194,6 +209,7 @@ class _EncoderLayer(nn.Module):
             num_heads=cfg.encoder_attention_heads,
             gru_rel_pos=cfg.gru_rel_pos,
             dropout=cfg.attention_dropout,
+            use_pallas=bool(getattr(cfg, "use_pallas", False)),
             dtype=self.dtype,
             name="self_attn",
         )

@@ -1,0 +1,146 @@
+"""Pallas TPU kernel: attention fused with gated relative-position bias.
+
+The BEATs attention (backbone.py:541-568) applies a per-layer gate to a
+shared T5 bias: ``softmax(q·kᵀ·scale + gate ⊙ pos_bias + pad) · v``. The XLA
+path materializes ``gate * pos_bias`` as a ``[B, H, T, T]`` fp32 tensor in
+HBM per layer (~188 MB at B=64, T=248) plus the logits/softmax intermediates
+— the dominant HBM traffic of the whole model, since the matmuls themselves
+are small at these sequence lengths.
+
+This kernel keeps everything in VMEM: for each (batch, head) grid cell it
+loads q/k/v tiles and the *shared* ``[T, T]`` bias slice (batch-independent —
+read once per head, B× less traffic), applies the scalar-per-query gate and
+padding mask in registers, and runs the softmax+PV matmul without touching
+HBM. Sequence lengths here are short (≤ ~1k tokens), so the full ``[T, T]``
+logits tile fits VMEM comfortably and no online-softmax tiling is needed.
+
+Inputs are padded to TPU tile multiples by the wrapper; numerical behavior
+matches :func:`avex_tpu.ops.attention.dot_product_attention` (fp32 softmax).
+
+Status: measured on v5e at B=128/T=248/D=64 this kernel runs ~0.65x the XLA
+fused path — the (batch x head) grid granularity and the 64→128 lane padding
+of the head dim waste MXU work, and XLA's own fusion of the bias chain is
+already strong at these shapes. It is therefore OFF by default
+(``BEATsConfig.use_pallas``); kept as the starting point for a multi-head-
+per-cell variant.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["gated_bias_attention"]
+
+
+def _round_up(value: int, multiple: int) -> int:
+    return -(-value // multiple) * multiple
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref, *, scale):
+    q = q_ref[0, 0].astype(jnp.float32)  # [T, D]
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0]
+    logits = jax.lax.dot_general(
+        q,
+        k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * scale
+    gate = gate_ref[0, 0].astype(jnp.float32)  # [T, 1]
+    logits = logits + gate * bias_ref[0].astype(jnp.float32)
+    logits = logits + pad_ref[0].astype(jnp.float32)  # [1?, T] broadcast over queries
+
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out_ref[0, 0] = jax.lax.dot_general(
+        weights,
+        v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
+
+
+def gated_bias_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pos_bias: jnp.ndarray,
+    gate: Optional[jnp.ndarray] = None,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused ``softmax(q·kᵀ·scale + gate ⊙ bias + pad) · v``.
+
+    Args:
+        q, k, v: ``[B, H, T, D]``.
+        pos_bias: shared bias ``[H, T, T]`` (batch-independent).
+        gate: per-query gate ``[B, H, T]`` (or None for plain bias).
+        key_padding_mask: ``[B, T]`` boolean, True = padded key.
+        scale: logit scale, default ``1/sqrt(D)``.
+        interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns:
+        ``[B, H, T, D]`` in the dtype of ``v``.
+    """
+    bsz, heads, seq, dim = q.shape
+    scale = scale if scale is not None else 1.0 / math.sqrt(dim)
+
+    # Pad to TPU tile multiples: sublane 8, lane 128.
+    seq_p = _round_up(seq, 8)
+    dim_p = _round_up(dim, 128)
+    pad_seq, pad_dim = seq_p - seq, dim_p - dim
+    if pad_seq or pad_dim:
+        widths4 = ((0, 0), (0, 0), (0, pad_seq), (0, pad_dim))
+        q = jnp.pad(q, widths4)
+        k = jnp.pad(k, widths4)
+        v = jnp.pad(v, widths4)
+        pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_seq), (0, pad_seq)))
+
+    if gate is None:
+        gate = jnp.ones((bsz, heads, seq_p), q.dtype)
+    elif pad_seq:
+        gate = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_seq)))
+    gate = gate[..., None]  # [B, H, T, 1]
+
+    # Additive key mask: padded keys (incl. tile padding) get -inf.
+    valid = jnp.arange(seq_p) < seq
+    if key_padding_mask is not None:
+        if pad_seq:
+            key_padding_mask = jnp.pad(
+                key_padding_mask, ((0, 0), (0, pad_seq)), constant_values=True
+            )
+        key_valid = (~key_padding_mask) & valid[None, :]
+    else:
+        key_valid = jnp.broadcast_to(valid[None, :], (bsz, seq_p))
+    pad_bias = jnp.where(key_valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]  # [B,1,T]
+
+    grid = (bsz, heads)
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_p, seq_p), lambda b, h: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, seq_p, 1), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, seq_p), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, heads, seq_p, dim_p), v.dtype),
+        interpret=interpret,
+    )(q, k, v, pos_bias, gate, pad_bias[:, :, :])
+    if pad_seq or pad_dim:
+        out = out[:, :, :seq, :dim]
+    return out

@@ -1,0 +1,59 @@
+"""Pallas gated-bias attention vs the XLA reference path (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from avex_tpu.ops.attention import dot_product_attention
+from avex_tpu.ops.pallas_attention import gated_bias_attention
+
+
+def _reference(q, k, v, pos_bias, gate, pad_mask, scale):
+    bias = gate[..., None] * pos_bias[None] if gate is not None else pos_bias[None]
+    bias = jnp.asarray(bias, jnp.float32)
+    if pad_mask is not None:
+        bias = bias + jnp.where(pad_mask[:, None, None, :], -jnp.inf, 0.0)
+    return dot_product_attention(q, k, v, bias=bias, scale=scale)
+
+
+@pytest.mark.parametrize("seq", [24, 48])  # includes non-multiple-of-8 seq
+def test_matches_reference(rng, seq):
+    b, h, d = 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((h, seq, seq)).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, h, seq)).astype(np.float32))
+
+    out = gated_bias_attention(q, k, v, pos_bias, gate, interpret=True)
+    expected = _reference(q, k, v, pos_bias, gate, None, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_with_padding_mask(rng):
+    b, h, seq, d = 2, 2, 16, 32
+    q = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((h, seq, seq)).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, h, seq)).astype(np.float32))
+    pad = np.zeros((b, seq), bool)
+    pad[1, 10:] = True
+    pad = jnp.asarray(pad)
+
+    out = gated_bias_attention(q, k, v, pos_bias, gate, key_padding_mask=pad, interpret=True)
+    expected = _reference(q, k, v, pos_bias, gate, pad, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_no_gate(rng):
+    b, h, seq, d = 1, 2, 8, 16
+    q = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((h, seq, seq)).astype(np.float32))
+    out = gated_bias_attention(q, k, v, pos_bias, None, interpret=True)
+    expected = _reference(q, k, v, pos_bias, None, None, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
