@@ -217,7 +217,7 @@ class Model(ModelBase):
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.module = FrameASTModel(num_classes=self.num_classes, dtype=dtype)
         dummy = jnp.zeros((1, 16000), jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = self._init_variables(dummy, seed=seed)
         if atst_model_path:
             from avex_tpu.utils.loaders import process_state_dict, universal_load
 

@@ -308,7 +308,7 @@ class Model(ModelBase):
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.module = AVESModel(cfg=self.config, num_classes=self.num_classes, dtype=dtype)
         dummy = jnp.zeros((1, 16000), jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = self._init_variables(dummy, seed=seed)
 
     def _apply_kwargs(self) -> Dict[str, Any]:
         return {"deterministic": True, "disable_layerdrop": True}

@@ -143,6 +143,11 @@ class ModelBase:
             self._jit_cache[key] = jax.jit(fn)
         return self._jit_cache[key]
 
+    def _init_variables(self, *dummy_args, seed: int = 0):
+        """Jit-compiled module.init — eager init dispatches thousands of
+        individual ops, which is pathological over a remote-TPU transport."""
+        return jax.jit(self.module.init)(jax.random.PRNGKey(seed), *dummy_args)
+
     def process_audio(self, x: jnp.ndarray) -> jnp.ndarray:
         """Apply the configured audio frontend (≈ base_model.py:278-299)."""
         if self.audio_processor is None:

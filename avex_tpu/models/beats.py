@@ -298,11 +298,17 @@ class _TransformerEncoder(nn.Module):
             # [T, T, H] -> [1, H, T, T]
             position_bias = table(buckets).transpose(2, 0, 1)[None].astype(jnp.float32)
 
+        # Gradient checkpointing: rematerialize each block in the backward
+        # pass (the jax analogue of torch.utils.checkpoint on encoder layers).
+        layer_cls = _EncoderLayer
+        if getattr(cfg, "remat", False):
+            layer_cls = nn.remat(_EncoderLayer, static_argnums=(4,))
+
         intermediates: Dict[str, jnp.ndarray] = {}
         for i in range(cfg.encoder_layers):
             if cfg.layer_wise_gradient_decay_ratio != 1.0:
                 x = grad_multiply(x, cfg.layer_wise_gradient_decay_ratio)
-            layer = _EncoderLayer(cfg=cfg, dtype=self.dtype, name=f"layers_{i}")
+            layer = layer_cls(cfg=cfg, dtype=self.dtype, name=f"layers_{i}")
             new_x, fc2_out = layer(x, position_bias, padding_mask, deterministic)
             if not disable_layerdrop and cfg.encoder_layerdrop > 0 and not deterministic:
                 # LayerDrop: keep the layer with prob (1 - layerdrop)
@@ -625,7 +631,7 @@ class Model(ModelBase):
             dtype=dtype,
         )
         dummy = jnp.zeros((1, int(cfg.sample_frequency)), dtype=jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = self._init_variables(dummy, seed=seed)
 
     def _apply_kwargs(self) -> Dict[str, Any]:
         return {"deterministic": True, "disable_layerdrop": self.disable_layerdrop}
@@ -643,5 +649,12 @@ class Model(ModelBase):
         self._jit_cache.clear()
 
     def enable_gradient_checkpointing(self) -> None:
-        """Gradient checkpointing is applied by the trainer via jax.checkpoint
-        policies on the train step; nothing to mutate here."""
+        """Rebuild the module with per-layer rematerialization (nn.remat)."""
+        self.cfg = self.cfg.model_copy(update={"remat": True})
+        self.module = BEATsModel(
+            cfg=self.cfg,
+            num_classes=self.num_classes,
+            use_naturelm=self.use_naturelm,
+            dtype=self.module.dtype,
+        )
+        self._jit_cache.clear()

@@ -139,7 +139,7 @@ class Model(ModelBase):
             dim=dim, depth=depth, heads=heads, num_classes=self.num_classes, dtype=dtype
         )
         dummy = jnp.zeros((1, 32000), jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = self._init_variables(dummy, seed=seed)
 
     def _apply_kwargs(self) -> Dict[str, Any]:
         return {"deterministic": True}

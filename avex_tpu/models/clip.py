@@ -256,7 +256,7 @@ class Model(ModelBase):
         self.tokenizer = self._load_tokenizer(text_model_name)
         dummy_audio = jnp.zeros((1, 3, 128, 64), jnp.float32)
         dummy_text = jnp.ones((1, 4), jnp.int32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy_audio, dummy_text)
+        self.variables = self._init_variables(dummy_audio, dummy_text, seed=seed)
 
     @staticmethod
     def _load_tokenizer(name: str):

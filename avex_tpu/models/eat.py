@@ -256,7 +256,7 @@ class Model(ModelBase):
         # Init on a short clip: param shapes are length-independent (fixed
         # sincos positions are computed per grid at trace time).
         dummy = jnp.zeros((1, 16000), jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = self._init_variables(dummy, seed=seed)
 
     def _apply_kwargs(self) -> Dict[str, Any]:
         return {"deterministic": True}

@@ -324,7 +324,7 @@ class Model(ModelBase):
         )
         # Params are resolution-independent; init on a small dummy spectrogram.
         dummy = jnp.zeros((1, 3, 128, 64), jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = self._init_variables(dummy, seed=seed)
 
     def _apply_kwargs(self) -> Dict[str, Any]:
         return {"train": False, "deterministic": True}

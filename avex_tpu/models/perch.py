@@ -66,7 +66,7 @@ class Model(ModelBase):
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.module = EfficientNetModel(variant="b1", num_classes=PERCH_NUM_CLASSES, dtype=dtype)
         dummy = jnp.zeros((1, 3, 160, 64), jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = self._init_variables(dummy, seed=seed)
         self._return_features_only = return_features_only
 
     def _apply_kwargs(self) -> Dict[str, Any]:

@@ -236,7 +236,7 @@ class Model(ModelBase):
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
         self.module = ResNetModel(variant=variant, num_classes=self.num_classes, dtype=dtype)
         dummy = jnp.zeros((1, 3, 64, 64), jnp.float32)
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = self._init_variables(dummy, seed=seed)
 
     def _apply_kwargs(self) -> Dict[str, Any]:
         return {"train": False, "deterministic": True}

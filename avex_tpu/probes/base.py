@@ -226,7 +226,7 @@ class Probe:
             head_kwargs=tuple(sorted(head_kwargs.items())),
         )
         dummy = [jnp.zeros((1,) + s, jnp.float32) for s in self.plan.input_shapes]
-        self.variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = jax.jit(self.module.init)(jax.random.PRNGKey(seed), dummy)
         self._jit_cache: Dict[Any, Any] = {}
 
     # -- shape inference ------------------------------------------------
