@@ -50,12 +50,16 @@ class TrainState:
     rng: jax.Array
 
 
-def _partition_backbone(params) -> Any:
-    """Label backbone vs head parameters for two-stage fine-tuning."""
+def _partition_params(params, frozen_top_keys) -> Any:
+    """Label parameter subtrees as trainable vs frozen by top-level key.
+
+    Used for two-stage fine-tuning (freeze ``backbone``) and for models that
+    own non-optimized state such as an EMA teacher (``frozen_param_keys``)."""
+    frozen = {str(k) for k in frozen_top_keys}
 
     def label(path, _leaf):
-        top = getattr(path[0], "key", getattr(path[0], "name", ""))
-        return "frozen" if str(top) == "backbone" else "train"
+        top = str(getattr(path[0], "key", getattr(path[0], "name", "")))
+        return "frozen" if top in frozen else "train"
 
     return jax.tree_util.tree_map_with_path(label, params)
 
@@ -149,14 +153,18 @@ class Trainer:
             params=self._init_params,
             lr_override=lr_override,
         )
+        frozen_keys = set(getattr(self.model, "frozen_param_keys", ()) or ())
         if stage == 1:
+            frozen_keys.add("backbone")
+        if frozen_keys:
             tx = optax.multi_transform(
                 {"train": tx, "frozen": optax.set_to_zero()},
-                _partition_backbone(self._init_params),
+                _partition_params(self._init_params, frozen_keys),
             )
         self._tx = tx
         strategy = self.strategy
         apply_fn = self._apply_fn
+        post_update = getattr(self.model, "post_optimizer_step", None)
 
         def train_step(state: TrainState, batch):
             rng, step_rng = jax.random.split(state.rng)
@@ -169,6 +177,10 @@ class Trainer:
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             updates, opt_state = self._tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            if post_update is not None:
+                # Model-owned state refresh inside the compiled step
+                # (e.g. EMA teacher update for SSL pretraining).
+                params = post_update(params)
             new_state = state.replace(
                 step=state.step + 1, params=params, opt_state=opt_state, rng=rng
             )
