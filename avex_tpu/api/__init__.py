@@ -1,0 +1,1 @@
+"""Packaged API assets: official model specs and console entry points."""

@@ -1,0 +1,1 @@
+"""Packaged config assets (user spec YAMLs may be dropped here)."""

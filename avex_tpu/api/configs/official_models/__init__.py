@@ -1,0 +1,1 @@
+"""Placeholder package for user-provided official-model spec YAMLs."""

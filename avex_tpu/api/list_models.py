@@ -4,6 +4,7 @@ from __future__ import annotations
 
 
 def main() -> None:
+    """Print the model registry table."""
     from avex_tpu.models.registry import list_models
 
     list_models(verbose=True)

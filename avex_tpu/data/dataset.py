@@ -35,6 +35,7 @@ class AudioDataset:
         return len(self.label_names)
 
     def label_map(self) -> Dict[str, int]:
+        """label name → index mapping."""
         return {name: i for i, name in enumerate(self.label_names)}
 
     def __len__(self) -> int:  # pragma: no cover - abstract

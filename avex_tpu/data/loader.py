@@ -47,6 +47,7 @@ class DataLoader:
         self.num_shards = num_shards
 
     def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle for a new epoch (DistributedSampler analogue)."""
         self.epoch = epoch
 
     def _indices(self) -> np.ndarray:

@@ -35,6 +35,7 @@ def layer_id_for(layers: Sequence[Union[str, int]]) -> str:
 def cache_path(
     save_dir: str, dataset_name: str, model_name: str, split: str, layers
 ) -> Path:
+    """Cache file path following the reference naming scheme."""
     base = Path(save_dir) / f"{dataset_name}_{model_name}"
     return base / f"embedding_{split}_{layer_id_for(layers)}.h5"
 

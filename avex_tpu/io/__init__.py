@@ -72,16 +72,19 @@ def rm(path: str, recursive: bool = False) -> None:
 
 
 def read_bytes(path: str) -> bytes:
+    """Read a (local or remote) file fully into bytes."""
     fs, p = filesystem_from_path(path)
     with fs.open(p, "rb") as f:
         return f.read()
 
 
 def read_text(path: str, encoding: str = "utf-8") -> str:
+    """Read a file as text."""
     return read_bytes(path).decode(encoding)
 
 
 def write_bytes(path: str, data: bytes) -> None:
+    """Write bytes, creating local parent directories."""
     fs, p = filesystem_from_path(path)
     parent = os.path.dirname(p)
     if parent and not is_remote(path):
@@ -91,6 +94,7 @@ def write_bytes(path: str, data: bytes) -> None:
 
 
 def write_text(path: str, text: str, encoding: str = "utf-8") -> None:
+    """Write text content."""
     write_bytes(path, text.encode(encoding))
 
 

@@ -62,12 +62,14 @@ class Accuracy(_StreamingMetric):
     """Top-1 accuracy (sklearn_metrics.py:24-69)."""
 
     def get_primary_metric(self) -> float:
+        """Primary scalar score over everything accumulated so far."""
         from sklearn.metrics import accuracy_score
 
         logits, y = self._stacked()
         preds = logits.argmax(axis=1) if logits.ndim == 2 else (logits > 0).astype(int)
         return float(accuracy_score(_labels_to_indices(y), preds))
 
+    #: alias used by some callers
     compute = get_primary_metric
 
 
@@ -75,12 +77,14 @@ class BalancedAccuracy(_StreamingMetric):
     """Class-imbalance-adjusted accuracy (sklearn_metrics.py:286-333)."""
 
     def get_primary_metric(self) -> float:
+        """Primary scalar score over everything accumulated so far."""
         from sklearn.metrics import balanced_accuracy_score
 
         logits, y = self._stacked()
         preds = logits.argmax(axis=1) if logits.ndim == 2 else (logits > 0).astype(int)
         return float(balanced_accuracy_score(_labels_to_indices(y), preds))
 
+    #: alias used by some callers
     compute = get_primary_metric
 
 
@@ -88,6 +92,7 @@ class BinaryF1Score(_StreamingMetric):
     """F1 of the positive class for binary problems (sklearn_metrics.py:71-125)."""
 
     def get_primary_metric(self) -> float:
+        """Primary scalar score over everything accumulated so far."""
         from sklearn.metrics import f1_score
 
         logits, y = self._stacked()
@@ -99,6 +104,7 @@ class BinaryF1Score(_StreamingMetric):
             preds = (logits > 0).astype(int)
         return float(f1_score(_labels_to_indices(y), preds, zero_division=0))
 
+    #: alias used by some callers
     compute = get_primary_metric
 
 
@@ -110,12 +116,14 @@ class MulticlassBinaryF1Score(_StreamingMetric):
         self.num_classes = num_classes
 
     def get_primary_metric(self) -> float:
+        """Primary scalar score over everything accumulated so far."""
         from sklearn.metrics import f1_score
 
         logits, y = self._stacked()
         preds = logits.argmax(axis=1)
         return float(f1_score(_labels_to_indices(y), preds, average="macro", zero_division=0))
 
+    #: alias used by some callers
     compute = get_primary_metric
 
 
@@ -123,6 +131,7 @@ class AveragePrecision(_StreamingMetric):
     """Per-class AP for multilabel problems (beans_metrics.py:126)."""
 
     def compute_per_class(self) -> np.ndarray:
+        """Per-class average precision (NaN for classes with no positives)."""
         from sklearn.metrics import average_precision_score
 
         logits, y = self._stacked()
@@ -136,10 +145,12 @@ class AveragePrecision(_StreamingMetric):
         return aps
 
     def get_primary_metric(self) -> float:
+        """Mean AP over classes with positive examples."""
         aps = self.compute_per_class()
         present = aps[~np.isnan(aps)]
         return float(present.mean()) if present.size else 0.0
 
+    #: alias used by some callers
     compute = get_primary_metric
 
 
@@ -152,6 +163,7 @@ class ROCAUC(_StreamingMetric):
     """Macro one-vs-rest ROC-AUC (sklearn_metrics.py:335-392)."""
 
     def get_primary_metric(self) -> float:
+        """Primary scalar score over everything accumulated so far."""
         from sklearn.metrics import roc_auc_score
 
         logits, y = self._stacked()
@@ -167,6 +179,7 @@ class ROCAUC(_StreamingMetric):
         except ValueError:
             return 0.0  # single class present
 
+    #: alias used by some callers
     compute = get_primary_metric
 
 

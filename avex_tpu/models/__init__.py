@@ -1,0 +1,1 @@
+"""Model zoo: architecture wrappers, registry, factory, loading."""

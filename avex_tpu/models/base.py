@@ -128,6 +128,7 @@ class ModelBase:
         """API-parity no-op: functional capture cannot be lost (cf. base_model.py:202)."""
 
     def deregister_all_hooks(self) -> None:
+        """Clear the active capture-layer selection."""
         self._hook_layers = []
 
     # ------------------------------------------------------------------
@@ -286,14 +287,17 @@ class ModelBase:
         return self
 
     def eval(self) -> "ModelBase":
+        """torch-API shim: switch to inference mode."""
         self._training = False
         return self
 
     def train(self, mode: bool = True) -> "ModelBase":
+        """torch-API shim: toggle training mode flag."""
         self._training = mode
         return self
 
     def enable_gradient_checkpointing(self) -> None:
+        """Rebuild with per-layer rematerialization; see model subclasses."""
         raise NotImplementedError(
             f"{type(self).__name__} does not support gradient checkpointing."
         )

@@ -83,7 +83,9 @@ class Model(ModelBase):
         return self
 
     def cpu(self):
+        """No-op: TFLite manages its own devices (birdnet.py:525-568)."""
         return self
 
     def cuda(self):
+        """No-op: TFLite manages its own devices."""
         return self

@@ -275,6 +275,7 @@ class Model(ModelBase):
             self._layer_names = ["audio_projection", "text_projection"]
 
     def tokenize(self, texts: List[str]) -> np.ndarray:
+        """Texts → padded token-id batch (HF tokenizer or offline fallback)."""
         if isinstance(self.tokenizer, SimpleTokenizer):
             return self.tokenizer(texts)
         tokens = self.tokenizer(

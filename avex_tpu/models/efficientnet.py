@@ -60,6 +60,7 @@ def _round_repeats(repeats: int, depth_mult: float) -> int:
 
 
 def stage_config(variant: str) -> List[Tuple[int, int, int, int, int]]:
+    """Width/depth-scaled stage table for an EfficientNet variant."""
     width, depth, _do = VARIANTS[variant]
     return [
         (t, _round_channels(c, width), _round_repeats(n, depth), s, k)

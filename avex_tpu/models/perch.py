@@ -100,6 +100,7 @@ class Model(ModelBase):
     __call__ = forward
 
     def infer(self, x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        """Full inference dict: 10932-class logits + 1280-d embedding."""
         spec = self._prepare(x)
 
         def fwd(variables, spec):

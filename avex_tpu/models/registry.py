@@ -84,6 +84,7 @@ def get_checkpoint_path(name: str) -> Optional[str]:
 
 
 def get_class_mapping_path(name: str) -> Optional[str]:
+    """Label-map URI registered for a model, if any."""
     if name not in _MODEL_REGISTRY:
         raise KeyError(f"Model '{name}' not found in registry")
     return _LABEL_MAP_PATHS.get(name)

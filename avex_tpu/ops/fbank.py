@@ -198,6 +198,7 @@ class KaldiFbank:
         )
 
     def output_frames(self, num_samples: int) -> int:
+        """Number of output frames for a given waveform length."""
         return num_frames(num_samples, self.win_length, self.hop_length)
 
     def __call__(self, waveforms: jnp.ndarray, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:

@@ -74,6 +74,7 @@ def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully-replicated sharding over the mesh."""
     return NamedSharding(mesh, P())
 
 
@@ -115,6 +116,7 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
 
 
 def local_device_count() -> int:
+    """Number of devices attached to this host."""
     return jax.local_device_count()
 
 

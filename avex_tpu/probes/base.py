@@ -281,6 +281,7 @@ class Probe:
         return self.forward(x, padding_mask)
 
     def forward(self, x, padding_mask=None) -> jnp.ndarray:
+        """Probe logits for raw audio (online) or embeddings (offline)."""
         embs = self._get_embeddings(x, padding_mask)
         if not isinstance(embs, (list, tuple)):
             embs = [embs]

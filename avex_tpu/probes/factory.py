@@ -51,10 +51,12 @@ _HEAD_KWARG_FIELDS: Dict[str, Tuple[str, ...]] = {
 
 
 def register_probe_class(name: str, cls: Type[Probe]) -> None:
+    """Register a custom probe class under a name."""
     _PROBE_REGISTRY[name] = cls
 
 
 def get_probe_class(name: str) -> Type[Probe]:
+    """Resolve a probe class by type name."""
     if name in _PROBE_REGISTRY:
         return _PROBE_REGISTRY[name]
     if name in HEAD_CLASSES:
@@ -63,6 +65,7 @@ def get_probe_class(name: str) -> Type[Probe]:
 
 
 def list_probe_classes() -> List[str]:
+    """All known probe type names."""
     return sorted(set(HEAD_CLASSES) | set(_PROBE_REGISTRY))
 
 

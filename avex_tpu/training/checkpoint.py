@@ -67,12 +67,15 @@ class CheckpointManager:
         return str(path)
 
     def save_best(self, **kwargs) -> str:
+        """Save/overwrite the best_model checkpoint."""
         return self.save("best_model", **kwargs)
 
     def save_final(self, **kwargs) -> str:
+        """Save the final_model checkpoint."""
         return self.save("final_model", **kwargs)
 
     def save_epoch(self, epoch: int, **kwargs) -> str:
+        """Save a periodic checkpoint_epoch_N checkpoint."""
         return self.save(f"checkpoint_epoch_{epoch}", epoch=epoch, **kwargs)
 
     def load(
@@ -99,4 +102,5 @@ class CheckpointManager:
         return payload
 
     def exists(self, name: str) -> bool:
+        """True when the named checkpoint directory exists."""
         return self._path(name).exists()

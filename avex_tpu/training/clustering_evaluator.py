@@ -38,6 +38,7 @@ class ClusteringEvaluator:
         self.model.register_hooks_for_layers([config.layers])
 
     def should_run(self, epoch: int) -> bool:
+        """Whether the clustering probe fires for this epoch (-1 = pre-training)."""
         if not self.config.enabled:
             return False
         if epoch < 0:
@@ -45,6 +46,7 @@ class ClusteringEvaluator:
         return (epoch + 1) % self.config.frequency == 0
 
     def evaluate(self) -> Dict[str, float]:
+        """Extract embeddings and score KMeans clustering."""
         embeddings: List[np.ndarray] = []
         labels: List[np.ndarray] = []
         seen = 0

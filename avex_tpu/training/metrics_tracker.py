@@ -30,6 +30,7 @@ class MetricsTracker:
         self.reset()
 
     def reset(self) -> None:
+        """Clear all accumulated state for a new epoch."""
         self.loss_sum = 0.0
         self.sample_count = 0
         self.correct = 0
@@ -41,6 +42,7 @@ class MetricsTracker:
         }
 
     def update(self, loss, step_metrics: Dict, labels=None) -> None:
+        """Accumulate one step's loss and mode-specific statistics."""
         count = int(np.asarray(step_metrics.get("count", 0)))
         self.loss_sum += float(np.asarray(loss)) * max(count, 1)
         self.sample_count += count
@@ -65,6 +67,7 @@ class MetricsTracker:
         return self.loss_sum / max(self.sample_count, 1)
 
     def epoch_metrics(self) -> Dict[str, float]:
+        """Epoch summary: loss plus mode-specific metric values."""
         out = {"loss": self.avg_loss, "samples": float(self.sample_count)}
         if self.mode == "supervised":
             out["accuracy_running"] = self.correct / max(self.sample_count, 1)

@@ -39,6 +39,7 @@ class SupervisedStrategy:
         rng: Optional[jax.Array],
         train: bool,
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Model forward + criterion; returns (loss, step metrics)."""
         variables = {"params": params, **extra_variables}
         kwargs: Dict[str, Any] = {"deterministic": not train}
         rngs = None
@@ -69,6 +70,7 @@ class CLIPStrategy:
     """
 
     def forward_loss(self, apply_fn, params, extra_variables, batch, rng, train):
+        """Contrastive loss over model-reported audio/text features."""
         variables = {"params": params, **extra_variables}
         rngs = {"dropout": rng} if (train and rng is not None) else None
         out = apply_fn(
@@ -97,6 +99,7 @@ class EATSSLStrategy:
     returns ``{"losses": {...}, "sample_size": n}``."""
 
     def forward_loss(self, apply_fn, params, extra_variables, batch, rng, train):
+        """Total of the model-reported SSL loss components."""
         variables = {"params": params, **extra_variables}
         rngs = {"dropout": rng, "mask": rng} if (train and rng is not None) else None
         out = apply_fn(

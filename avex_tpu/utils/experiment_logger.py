@@ -59,6 +59,7 @@ class ExperimentLogger:
                 self.backend = "none"
 
     def log_params(self, params: Dict[str, Any]) -> None:
+        """Record run hyper-parameters once."""
         if self._mlflow:
             self._mlflow.log_params({k: str(v)[:250] for k, v in params.items()})
         elif self._wandb:
@@ -68,6 +69,7 @@ class ExperimentLogger:
                 f.write(json.dumps({"type": "params", "params": _jsonable(params)}) + "\n")
 
     def log_metrics(self, metrics: Dict[str, float], step: int = 0, split: str = "") -> None:
+        """Record step/epoch metrics to the backend and local jsonl."""
         named = {f"{split}/{k}" if split else k: float(v) for k, v in metrics.items() if _is_num(v)}
         if self._mlflow:
             self._mlflow.log_metrics(named, step=step)
@@ -78,6 +80,7 @@ class ExperimentLogger:
                 f.write(json.dumps({"type": "metrics", "step": step, "metrics": named}) + "\n")
 
     def finalize(self) -> None:
+        """Close the backend run."""
         if self._mlflow:
             self._mlflow.end_run()
         if self._wandb:

@@ -49,11 +49,13 @@ class StepTimer:
 
     @contextlib.contextmanager
     def step(self) -> Iterator[None]:
+        """Context manager timing one step."""
         start = time.perf_counter()
         yield
         self.durations.append(time.perf_counter() - start)
 
     def summary(self) -> Dict[str, float]:
+        """Aggregate durations (excluding warmup steps)."""
         timed = self.durations[self.skip_first :] or self.durations
         if not timed:
             return {"steps": 0}

@@ -73,6 +73,7 @@ def write_summary_csv(path: Union[str, Path], results: Sequence[Dict[str, Any]])
 
 
 def read_jsonl(path: Union[str, Path]) -> List[Dict[str, Any]]:
+    """Read all records of a JSONL file (empty list when absent)."""
     path = Path(path)
     if not path.exists():
         return []
