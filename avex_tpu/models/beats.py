@@ -304,23 +304,61 @@ class _TransformerEncoder(nn.Module):
         if getattr(cfg, "remat", False):
             layer_cls = nn.remat(_EncoderLayer, static_argnums=(4,))
 
+        use_layerdrop = (
+            not disable_layerdrop and cfg.encoder_layerdrop > 0 and not deterministic
+        )
+
         intermediates: Dict[str, jnp.ndarray] = {}
-        for i in range(cfg.encoder_layers):
-            if cfg.layer_wise_gradient_decay_ratio != 1.0:
-                x = grad_multiply(x, cfg.layer_wise_gradient_decay_ratio)
-            layer = layer_cls(cfg=cfg, dtype=self.dtype, name=f"layers_{i}")
-            new_x, fc2_out = layer(x, position_bias, padding_mask, deterministic)
-            if not disable_layerdrop and cfg.encoder_layerdrop > 0 and not deterministic:
-                # LayerDrop: keep the layer with prob (1 - layerdrop)
-                # (backbone.py:190-213).
-                keep = (
-                    jax.random.uniform(self.make_rng("layerdrop"), ())
-                    > cfg.encoder_layerdrop
+        if getattr(cfg, "scan_layers", False):
+            # Compile-time optimization: one traced layer body scanned L times
+            # (params stacked on a leading layer axis). Semantics identical to
+            # the unrolled loop; weight conversion stacks per-layer tensors
+            # (convert_beats_state_dict(scan_layers=True)).
+            def body(layer_module, carry, _xs):
+                x = carry
+                if cfg.layer_wise_gradient_decay_ratio != 1.0:
+                    x = grad_multiply(x, cfg.layer_wise_gradient_decay_ratio)
+                new_x, fc2_out = layer_module(
+                    x, position_bias, padding_mask, deterministic
                 )
-                new_x = jnp.where(keep, new_x, x)
-                fc2_out = jnp.where(keep, fc2_out, jnp.zeros_like(fc2_out))
-            x = new_x
-            intermediates[f"encoder.layers.{i}.fc2"] = fc2_out
+                if use_layerdrop:
+                    keep = (
+                        jax.random.uniform(layer_module.make_rng("layerdrop"), ())
+                        > cfg.encoder_layerdrop
+                    )
+                    new_x = jnp.where(keep, new_x, x)
+                    fc2_out = jnp.where(keep, fc2_out, jnp.zeros_like(fc2_out))
+                return new_x, fc2_out
+
+            rng_collections = {"params": True, "dropout": True, "layerdrop": True}
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs=rng_collections,
+                length=cfg.encoder_layers,
+            )
+            x, fc2_stack = scanned(
+                layer_cls(cfg=cfg, dtype=self.dtype, name="layers"), x, None
+            )
+            for i in range(cfg.encoder_layers):
+                intermediates[f"encoder.layers.{i}.fc2"] = fc2_stack[i]
+        else:
+            for i in range(cfg.encoder_layers):
+                if cfg.layer_wise_gradient_decay_ratio != 1.0:
+                    x = grad_multiply(x, cfg.layer_wise_gradient_decay_ratio)
+                layer = layer_cls(cfg=cfg, dtype=self.dtype, name=f"layers_{i}")
+                new_x, fc2_out = layer(x, position_bias, padding_mask, deterministic)
+                if use_layerdrop:
+                    # LayerDrop: keep the layer with prob (1 - layerdrop)
+                    # (backbone.py:190-213).
+                    keep = (
+                        jax.random.uniform(self.make_rng("layerdrop"), ())
+                        > cfg.encoder_layerdrop
+                    )
+                    new_x = jnp.where(keep, new_x, x)
+                    fc2_out = jnp.where(keep, fc2_out, jnp.zeros_like(fc2_out))
+                x = new_x
+                intermediates[f"encoder.layers.{i}.fc2"] = fc2_out
 
         if cfg.layer_norm_first:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
@@ -485,6 +523,7 @@ def convert_beats_state_dict(
     state: Dict[str, np.ndarray],
     cfg: BEATsConfig,
     num_classes: Optional[int] = None,
+    scan_layers: Optional[bool] = None,
 ) -> Dict[str, Any]:
     """Convert a reference BEATs torch state dict into flax param pytree.
 
@@ -492,6 +531,8 @@ def convert_beats_state_dict(
     ``classifier.``) as produced by the official ESP safetensors exports, or
     bare-backbone checkpoints (no prefix), which are treated as
     ``backbone.``-rooted. Weight-normed pos_conv parametrizations are folded.
+    With ``scan_layers`` (default: follow ``cfg``), per-layer tensors stack on
+    a leading layer axis to match the nn.scan encoder layout.
     """
     # Normalize to wrapper-rooted keys.
     if not any(k.startswith("backbone.") for k in state):
@@ -578,6 +619,20 @@ def convert_beats_state_dict(
             elif sub[0] in ("self_attn_layer_norm", "final_layer_norm"):
                 which = "scale" if sub[1] == "weight" else "bias"
                 put(base + (sub[0], which), value)
+
+    if scan_layers is None:
+        scan_layers = bool(getattr(cfg, "scan_layers", False))
+    if scan_layers:
+        encoder = params.get("backbone", {}).get("encoder", {})
+        layer_keys = sorted(
+            (k for k in encoder if k.startswith("layers_")),
+            key=lambda name: int(name.split("_")[1]),
+        )
+        if layer_keys:
+            subtrees = [encoder.pop(k) for k in layer_keys]
+            encoder["layers"] = jax.tree_util.tree_map(
+                lambda *leaves: jnp.stack(leaves), *subtrees
+            )
     return {"params": params}
 
 

@@ -201,3 +201,19 @@ def test_fullsize_beats_parity(rng):
     variables = _backbone_variables(ref_model, cfg)
     ours, _ = BEATsBackbone(cfg=cfg).apply(variables, wav)
     np.testing.assert_allclose(np.asarray(ours), expected, atol=5e-4, rtol=1e-3)
+
+
+def test_scan_layers_equivalence(rng):
+    """nn.scan encoder == unrolled encoder on the same converted weights."""
+    cfg_dict = _small_cfg_dict()
+    ref_model = _build_reference(cfg_dict)
+    wav = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+    expected, _ = _run_reference(ref_model, wav)
+
+    cfg_scan = BEATsConfig(**cfg_dict, scan_layers=True)
+    from avex_tpu.models.beats import convert_beats_state_dict as conv
+
+    variables = {"params": conv(_torch_state(ref_model), cfg_scan)["params"]["backbone"]}
+    ours, aux = BEATsBackbone(cfg=cfg_scan).apply(variables, wav)
+    np.testing.assert_allclose(np.asarray(ours), expected, atol=2e-4, rtol=1e-3)
+    assert "encoder.layers.1.fc2" in aux["intermediates"]
