@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 
-def _measure_tpu(batch_size: int = 128, clip_seconds: int = 5, iters: int = 5) -> dict:
+def _measure_tpu(batch_size: int = 256, clip_seconds: int = 5, iters: int = 5) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -91,7 +91,8 @@ def _measure_cpu_reference(batch_size: int = 4, clip_seconds: int = 5, iters: in
 
 
 def main() -> None:
-    tpu = _measure_tpu()
+    batch = int(os.environ.get("AVEX_BENCH_BATCH", "256"))
+    tpu = _measure_tpu(batch_size=batch)
     cpu_clips_per_sec = _measure_cpu_reference()
     result = {
         "metric": "beats_embedding_extraction_5s16k",
