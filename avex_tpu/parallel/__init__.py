@@ -178,3 +178,21 @@ def init_multihost(
         coordinator_address,
     )
     return True
+
+
+def gather_metrics(metrics: Dict[str, float]) -> Dict[str, float]:
+    """Average scalar metrics across hosts (≈ distributed.py:247-328).
+
+    Single-process runs return the input unchanged; multi-host runs
+    all-gather each value and average (the reference's all_reduce-SUM/avg
+    metric sync).
+    """
+    if jax.process_count() == 1:
+        return dict(metrics)
+    from jax.experimental import multihost_utils
+
+    out = {}
+    for key, value in metrics.items():
+        gathered = multihost_utils.process_allgather(np.asarray(value, np.float64))
+        out[key] = float(np.mean(gathered))
+    return out
