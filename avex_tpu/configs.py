@@ -293,6 +293,7 @@ class DatasetConfig(BaseModel):
     name: str
     kind: Literal["hf", "local", "synthetic"] = "local"
     path: Optional[str] = None
+    subset: Optional[str] = None  # HF config name (e.g. a BirdSet task code)
     split: Optional[str] = None
     label_column: str = "label"
     audio_column: str = "audio"

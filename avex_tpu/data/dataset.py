@@ -142,7 +142,10 @@ class HFAudioDataset(AudioDataset):
         import datasets as hfds
 
         self.cfg = cfg
-        self.ds = hfds.load_dataset(cfg.path, split=cfg.split or "train")
+        if cfg.subset:
+            self.ds = hfds.load_dataset(cfg.path, cfg.subset, split=cfg.split or "train")
+        else:
+            self.ds = hfds.load_dataset(cfg.path, split=cfg.split or "train")
         feature = self.ds.features.get(cfg.label_column)
         if hasattr(feature, "names"):
             labels = list(feature.names)
