@@ -688,6 +688,31 @@ class Model(ModelBase):
         dummy = jnp.zeros((1, int(cfg.sample_frequency)), dtype=jnp.float32)
         self.variables = self._init_variables(dummy, seed=seed)
 
+        if pretrained:
+            # pretrained=True resolves the Microsoft BEATs base weights
+            # (SSL or AS2M-finetuned) like the reference
+            # (beats_model.py:28-69); offline builds warn and keep the
+            # random init (load_model applies official checkpoints on top).
+            self._load_reference_base_checkpoint()
+
+    def _load_reference_base_checkpoint(self) -> None:
+        """Fetch + convert the BEATs iter3+AS2M base checkpoint if reachable."""
+        import logging
+
+        from avex_tpu.api.reference_checkpoints import resolve_beats_base_checkpoint
+        from avex_tpu.utils.loaders import process_state_dict, universal_load
+
+        entry = resolve_beats_base_checkpoint(fine_tuned=self.fine_tuned)
+        try:
+            state = process_state_dict(universal_load(entry["checkpoint_path"]))
+            self.load_state_dict(state)
+        except Exception as err:
+            logging.getLogger(__name__).warning(
+                "Could not load BEATs base checkpoint %s (%s); keeping random init",
+                entry["checkpoint_path"],
+                err,
+            )
+
     def _apply_kwargs(self) -> Dict[str, Any]:
         return {"deterministic": True, "disable_layerdrop": self.disable_layerdrop}
 

@@ -81,6 +81,7 @@ class Trainer:
         mesh=None,
         exp_logger=None,
         steps_per_epoch: Optional[int] = None,
+        checkpoint_every_epochs: int = 0,
     ) -> None:
         self.model = model
         self.config = config
@@ -100,6 +101,27 @@ class Trainer:
             "self_supervised": "ssl",
         }[config.label_type]
         self.checkpoints = CheckpointManager(config.output_dir)
+        self.checkpoint_every_epochs = checkpoint_every_epochs
+
+        # During-training clustering evaluation (≈ train.py:666-702).
+        self.clustering_evaluator = None
+        if (
+            config.clustering_eval is not None
+            and config.clustering_eval.enabled
+            and val_loader is not None
+        ):
+            from avex_tpu.training.clustering_evaluator import ClusteringEvaluator
+
+            try:
+                self.clustering_evaluator = ClusteringEvaluator(
+                    model,
+                    config.clustering_eval,
+                    val_loader,
+                    num_classes=model.num_classes or 2,
+                    seed=config.seed,
+                )
+            except (ValueError, NotImplementedError) as err:
+                logger.warning("clustering eval disabled: %s", err)
 
         if steps_per_epoch is None:
             try:
@@ -275,10 +297,30 @@ class Trainer:
                         best_val_acc=self.best_val_acc,
                     )
 
+            if self.checkpoint_every_epochs and (epoch + 1) % self.checkpoint_every_epochs == 0:
+                self.checkpoints.save_epoch(
+                    epoch,
+                    params=jax.device_get(self.state.params),
+                    opt_state=jax.device_get(self.state.opt_state),
+                    step=int(self.state.step),
+                    best_val_acc=self.best_val_acc,
+                )
+
+            if self.clustering_evaluator is not None and self.clustering_evaluator.should_run(epoch):
+                # Sync trained params into the model handle so extraction
+                # sees current weights, then score clustering on val data.
+                self.model.variables = {
+                    "params": jax.device_get(self.state.params),
+                    **jax.device_get(self.state.extra_variables),
+                }
+                record["clustering"] = self.clustering_evaluator.evaluate()
+
             if self.exp_logger is not None:
                 flat = {f"train/{k}": v for k, v in train_metrics.items()}
                 if "val" in record:
                     flat.update({f"val/{k}": v for k, v in record["val"].items()})
+                if "clustering" in record:
+                    flat.update({f"clustering/{k}": v for k, v in record["clustering"].items()})
                 self.exp_logger.log_metrics(flat, step=epoch)
             history.append(record)
             logger.info("epoch %d done: %s", epoch, {k: round(v, 4) if isinstance(v, float) else v for k, v in train_metrics.items()})

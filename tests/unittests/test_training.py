@@ -208,3 +208,26 @@ def test_mesh_sharding_runs_on_8_devices(tmp_path):
     assert len(shardings) == 8
     trainer.state, loss, _metrics = trainer._train_step(trainer.state, device_batch)
     assert np.isfinite(float(loss))
+
+
+@pytest.mark.slow
+def test_periodic_checkpoints_and_clustering_eval(tmp_path):
+    """checkpoint_epoch_N cadence + during-training clustering metrics."""
+    from avex_tpu.configs import ClusteringEvalConfig
+
+    config = _run_config(tmp_path, epochs=2)
+    config = config.model_copy(
+        update={
+            "clustering_eval": ClusteringEvalConfig(
+                enabled=True, frequency=1, layers="last_layer", max_samples=100
+            )
+        }
+    )
+    train, val, _t, _lm, num_classes = build_dataloaders(config)
+    model = avex_tpu.build_model_from_spec(config.model_spec, num_classes=num_classes)
+    trainer = Trainer(model, config, train, val, checkpoint_every_epochs=1)
+    result = trainer.train()
+    assert trainer.checkpoints.exists("checkpoint_epoch_0")
+    assert trainer.checkpoints.exists("checkpoint_epoch_1")
+    clustering = result["history"][0].get("clustering")
+    assert clustering is not None and "ari" in clustering
