@@ -8,7 +8,7 @@ as :class:`DatasetConfig` templates ready for evaluation-set YAMLs.
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import List
 
 from avex_tpu.configs import DatasetConfig, EvaluationSet
 

@@ -9,7 +9,7 @@ here wrap a dataset with derived label/text fields.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, Sequence
 
 from avex_tpu.data.dataset import AudioDataset
 

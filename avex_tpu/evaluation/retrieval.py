@@ -9,7 +9,7 @@ AUC/statistics computed host-side via sklearn like the reference.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

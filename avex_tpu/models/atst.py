@@ -19,7 +19,7 @@ Weight conversion accepts the reference ``.ckpt`` encoder state dict naming
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
 import jax

@@ -20,7 +20,7 @@ the reference (clip.py:108-114).
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional
 
 import flax.linen as nn
 import jax
@@ -31,7 +31,6 @@ from avex_tpu.models.base import ModelBase
 from avex_tpu.models.efficientnet import EfficientNetModel
 from avex_tpu.ops.attention import dot_product_attention
 from avex_tpu.ops.frontend import AudioProcessor
-from avex_tpu.configs import AudioConfig
 from avex_tpu.utils.tree import merge_converted_params
 
 __all__ = ["RobertaEncoder", "CLIPModule", "Model", "SimpleTokenizer", "convert_roberta_state_dict"]

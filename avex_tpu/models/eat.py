@@ -20,7 +20,7 @@ eat_hf.py:43-103).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax

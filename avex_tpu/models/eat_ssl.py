@@ -23,12 +23,11 @@ all shapes stay jit-constant.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from avex_tpu.models.base import ModelBase
 from avex_tpu.models.eat import _Block, sincos_2d_positions

@@ -10,10 +10,9 @@ exposed (``backbone.layer{1..4}``) since they are the useful embedding taps.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 import numpy as np
 

@@ -26,7 +26,6 @@ its own 1e-4 parity tolerance (tests/unittests/test_fbank.py).
 from __future__ import annotations
 
 import functools
-import math
 from typing import Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ mel projection is one further matmul that XLA fuses into the same program.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ pooling, and capacity) is what matters — not elementwise parity with torch.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -11,7 +11,7 @@ collective or local/global logit bookkeeping.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ from typing import Any, Callable, Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from avex_tpu.training.losses import bce_loss, build_criterion, clip_loss
+from avex_tpu.training.losses import build_criterion, clip_loss
 
 Batch = Dict[str, jnp.ndarray]
 
