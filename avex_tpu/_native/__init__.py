@@ -1,0 +1,155 @@
+"""Native (C++) audio IO kernels with transparent Python fallback.
+
+The reference's data path leans on torchaudio/soundfile C++ for decode and
+resample; avex-tpu ships its own dependency-free native module
+(``audio_native.cpp``): RIFF/WAV parsing (PCM16/24/32/float32), channel
+mixdown, and windowed-sinc resampling, exposed over a C ABI via ctypes.
+
+The shared library is compiled on first use (g++ -O3) into the user cache;
+environments without a toolchain silently fall back to the numpy/scipy
+implementations, so nothing here is load-bearing for correctness.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SOURCE = Path(__file__).parent / "audio_native.cpp"
+_lib: Optional[ctypes.CDLL] = None
+_lib_failed = False
+
+
+def _build_library() -> Optional[Path]:
+    """Compile the shared library into the cache dir (content-addressed)."""
+    source = _SOURCE.read_bytes()
+    digest = hashlib.sha256(source).hexdigest()[:16]
+    cache = Path(
+        os.environ.get("ESP_CACHE_HOME", Path.home() / ".cache" / "avex_tpu")
+    ) / "native"
+    cache.mkdir(parents=True, exist_ok=True)
+    lib_path = cache / f"libavexaudio_{digest}.so"
+    if lib_path.exists():
+        return lib_path
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", str(_SOURCE), "-o", str(lib_path) + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(str(lib_path) + ".tmp", lib_path)
+        return lib_path
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as err:
+        logger.info("native audio build unavailable (%s); using numpy fallback", err)
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    path = _build_library()
+    if path is None:
+        _lib_failed = True
+        return None
+    lib = ctypes.CDLL(str(path))
+    lib.avex_decode_wav.restype = ctypes.c_int
+    lib.avex_decode_wav.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.avex_mix_to_mono.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.avex_resample.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    """True when the compiled library is (or can be made) available."""
+    return _get_lib() is not None
+
+
+def decode_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Decode a WAV file → (float32 waveform in [-1, 1], sample_rate).
+
+    Uses the native parser when available; falls back to scipy. ``mono=True``
+    averages channels.
+    """
+    lib = _get_lib()
+    data = Path(path).read_bytes()
+    if lib is not None:
+        sr = ctypes.c_int32()
+        channels = ctypes.c_int32()
+        frames = ctypes.c_int64()
+        rc = lib.avex_decode_wav(
+            data, len(data), None, 0,
+            ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(frames),
+        )
+        if rc == 0:
+            buf = np.empty(frames.value * channels.value, np.float32)
+            rc = lib.avex_decode_wav(
+                data, len(data),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size,
+                ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(frames),
+            )
+        if rc == 0:
+            if mono and channels.value > 1:
+                out = np.empty(frames.value, np.float32)
+                lib.avex_mix_to_mono(
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    frames.value, channels.value,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                )
+                return out, sr.value
+            return buf.reshape(frames.value, channels.value).squeeze(), sr.value
+        logger.debug("native wav decode failed (rc=%d) for %s; scipy fallback", rc, path)
+
+    from scipy.io import wavfile
+
+    sr_py, wav = wavfile.read(path)
+    wav = wav.astype(np.float32)
+    if wav.dtype != np.float32 or np.abs(wav).max() > 2.0:
+        wav = wav / 32768.0
+    if mono and wav.ndim == 2:
+        wav = wav.mean(axis=1)
+    return wav, int(sr_py)
+
+
+def resample(wav: np.ndarray, sr_in: int, sr_out: int, taps: int = 16) -> np.ndarray:
+    """Resample mono float32 audio (windowed-sinc native / scipy fallback)."""
+    wav = np.ascontiguousarray(wav, np.float32)
+    if sr_in == sr_out:
+        return wav
+    lib = _get_lib()
+    n_out = int(len(wav) * sr_out / sr_in)
+    if lib is not None:
+        out = np.empty(n_out, np.float32)
+        lib.avex_resample(
+            wav.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(wav), sr_in,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_out, sr_out,
+            taps,
+        )
+        return out
+    from scipy.signal import resample_poly
+
+    from math import gcd
+
+    g = gcd(sr_in, sr_out)
+    return resample_poly(wav, sr_out // g, sr_in // g).astype(np.float32)[:n_out]

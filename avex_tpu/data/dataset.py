@@ -111,14 +111,13 @@ class LocalAudioDataset(AudioDataset):
         if path.suffix == ".npy":
             return np.load(path).astype(np.float32)
         if path.suffix == ".wav":
-            from scipy.io import wavfile
+            # Native C++ decode + windowed-sinc resample to the configured
+            # rate (Python/scipy fallback inside); avex_tpu/_native.
+            from avex_tpu._native import decode_wav, resample
 
-            _sr, wav = wavfile.read(path)
-            wav = wav.astype(np.float32)
-            if wav.dtype != np.float32 or np.abs(wav).max() > 2.0:
-                wav = wav / 32768.0
-            if wav.ndim == 2:
-                wav = wav.mean(axis=1)
+            wav, sr = decode_wav(str(path), mono=True)
+            if sr != self.cfg.sample_rate:
+                wav = resample(wav, sr, self.cfg.sample_rate)
             return wav
         raise ValueError(f"Unsupported audio format: {path}")
 

@@ -1,0 +1,78 @@
+"""Native audio decode/resample kernels (C++ with Python fallback)."""
+
+import numpy as np
+import pytest
+
+from avex_tpu._native import decode_wav, native_available, resample
+
+
+def _write_wav(path, wav, sr=16000, dtype=np.int16):
+    from scipy.io import wavfile
+
+    if dtype == np.int16:
+        wavfile.write(path, sr, (wav * 32767).astype(np.int16))
+    elif dtype == np.float32:
+        wavfile.write(path, sr, wav.astype(np.float32))
+    else:
+        wavfile.write(path, sr, (wav * (2**31 - 1)).astype(np.int32))
+
+
+def test_native_builds():
+    assert native_available()
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.float32, np.int32])
+def test_decode_formats(tmp_path, rng, dtype):
+    wav = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    path = tmp_path / "x.wav"
+    _write_wav(path, wav, dtype=dtype)
+    decoded, sr = decode_wav(str(path))
+    assert sr == 16000
+    assert decoded.shape == (4000,)
+    np.testing.assert_allclose(decoded, wav, atol=2e-4)
+
+
+def test_decode_stereo_mixdown(tmp_path, rng):
+    wav = (rng.standard_normal((4000, 2)) * 0.1).astype(np.float32)
+    path = tmp_path / "stereo.wav"
+    _write_wav(path, wav)
+    decoded, _sr = decode_wav(str(path), mono=True)
+    np.testing.assert_allclose(decoded, wav.mean(axis=1), atol=2e-4)
+
+
+@pytest.mark.parametrize("sr_out", [8000, 32000, 22050])
+def test_resample_preserves_tone(sr_out):
+    sr_in = 16000
+    t = np.arange(sr_in) / sr_in
+    sine = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    out = resample(sine, sr_in, sr_out)
+    assert out.shape[0] == int(sr_in * sr_out / sr_in * 1.0)
+    t2 = np.arange(len(out)) / sr_out
+    expected = np.sin(2 * np.pi * 440 * t2).astype(np.float32)
+    assert np.abs(out[200:-200] - expected[200 : len(out) - 200]).max() < 5e-3
+
+
+def test_resample_identity():
+    wav = np.random.default_rng(0).standard_normal(1000).astype(np.float32)
+    np.testing.assert_array_equal(resample(wav, 16000, 16000), wav)
+
+
+def test_local_dataset_resamples(tmp_path, rng):
+    """LocalAudioDataset resamples 8 kHz files to the configured 16 kHz."""
+    import csv
+
+    from avex_tpu.configs import DatasetConfig
+    from avex_tpu.data import dataset_from_config
+
+    root = tmp_path / "ds"
+    root.mkdir()
+    wav = (rng.standard_normal(8000) * 0.1).astype(np.float32)  # 1s @ 8kHz
+    _write_wav(root / "a.wav", wav, sr=8000)
+    with open(root / "metadata.csv", "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["path", "label"])
+        writer.writeheader()
+        writer.writerow({"path": "a.wav", "label": "x"})
+    ds = dataset_from_config(
+        DatasetConfig(name="r", kind="local", path=str(root), sample_rate=16000)
+    )
+    assert ds[0]["raw_wav"].shape == (16000,)
