@@ -161,7 +161,10 @@ class FineTuneTrainer:
             logits = forward(trainable, batch, False, None)
             return criterion(logits, batch["label"]), logits
 
-        return tx, jax.jit(train_step, donate_argnums=(0, 1)), jax.jit(eval_step)
+        import os
+
+        donate = (0, 1) if os.environ.get("AVEX_TPU_DONATE", "1") == "1" else ()
+        return tx, jax.jit(train_step, donate_argnums=donate), jax.jit(eval_step)
 
     def _run_eval(self, eval_step, trainable, loader) -> Dict[str, float]:
         calcs = {

@@ -214,7 +214,13 @@ class Trainer:
             )
             return loss, metrics
 
-        self._train_step = jax.jit(train_step, donate_argnums=0)
+        # Buffer donation reuses state memory in place — correct on real
+        # TPU; disable via AVEX_TPU_DONATE=0 on transports where donation
+        # forces host round-trips (e.g. remote-TPU tunnels).
+        import os
+
+        donate = (0,) if os.environ.get("AVEX_TPU_DONATE", "1") == "1" else ()
+        self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
 
     def _resume(self, path: str) -> None:
