@@ -113,6 +113,9 @@ class CLIPModule(nn.Module):
     efficientnet_variant: str = "b0"
     projection_dim: int = 512
     temperature: float = 0.07
+    #: overrides for the text tower (e.g. smaller configs for tests),
+    #: as a hashable tuple of (field, value) pairs.
+    text_encoder_kwargs: tuple = ()
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -132,9 +135,9 @@ class CLIPModule(nn.Module):
             self.projection_dim, self.projection_dim, self.dtype, name="audio_projection"
         )(audio_feat)
 
-        text_hidden = RobertaEncoder(dtype=self.dtype, name="text_encoder")(
-            text_tokens, deterministic=deterministic
-        )
+        text_hidden = RobertaEncoder(
+            dtype=self.dtype, name="text_encoder", **dict(self.text_encoder_kwargs)
+        )(text_tokens, deterministic=deterministic)
         text_feat = text_hidden[:, 0, :]  # [CLS]
         text_emb = _Projection(
             self.projection_dim, self.projection_dim, self.dtype, name="text_projection"
@@ -239,6 +242,7 @@ class Model(ModelBase):
         projection_dim: int = 512,
         temperature: float = 0.07,
         efficientnet_variant: str = "b0",
+        extra_config: Optional[Dict[str, Any]] = None,
         compute_dtype: str = "float32",
         seed: int = 0,
         **_ignored: Any,
@@ -246,25 +250,28 @@ class Model(ModelBase):
         super().__init__(device=device, audio_config=audio_config)
         self.projection_dim = projection_dim
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        text_kwargs = tuple(sorted(((extra_config or {}).get("text_encoder") or {}).items()))
         self.module = CLIPModule(
             efficientnet_variant=efficientnet_variant,
             projection_dim=projection_dim,
             temperature=temperature,
+            text_encoder_kwargs=text_kwargs,
             dtype=dtype,
         )
-        self.tokenizer = self._load_tokenizer(text_model_name)
+        vocab_size = dict(text_kwargs).get("vocab_size", 50265)
+        self.tokenizer = self._load_tokenizer(text_model_name, vocab_size)
         dummy_audio = jnp.zeros((1, 3, 128, 64), jnp.float32)
         dummy_text = jnp.ones((1, 4), jnp.int32)
         self.variables = self._init_variables(dummy_audio, dummy_text, seed=seed)
 
     @staticmethod
-    def _load_tokenizer(name: str):
+    def _load_tokenizer(name: str, vocab_size: int = 50265):
         try:
             from transformers import AutoTokenizer
 
             return AutoTokenizer.from_pretrained(name, local_files_only=True)
         except Exception:
-            return SimpleTokenizer()
+            return SimpleTokenizer(vocab_size)
 
     def _apply_kwargs(self) -> Dict[str, Any]:
         return {"deterministic": True}

@@ -47,7 +47,25 @@ class SupervisedStrategy:
             r1, r2 = jax.random.split(rng)
             rngs = {"dropout": r1, "layerdrop": r2}
             kwargs["disable_layerdrop"] = False
-        out = apply_fn(variables, batch["raw_wav"], batch.get("padding_mask"), rngs=rngs, **kwargs)
+        updated_variables = None
+        if train and "batch_stats" in extra_variables:
+            # BatchNorm models update running stats during training; thread
+            # the mutated collection back through the step.
+            kwargs["train"] = True
+            kwargs.pop("disable_layerdrop", None)
+            out, mutated = apply_fn(
+                variables,
+                batch["raw_wav"],
+                batch.get("padding_mask"),
+                rngs=rngs,
+                mutable=["batch_stats"],
+                **kwargs,
+            )
+            updated_variables = {**extra_variables, **mutated}
+        else:
+            out = apply_fn(
+                variables, batch["raw_wav"], batch.get("padding_mask"), rngs=rngs, **kwargs
+            )
         logits = out[0] if isinstance(out, tuple) else out
         labels = batch["label"]
         loss = self.criterion(logits, labels)
@@ -57,6 +75,8 @@ class SupervisedStrategy:
             "correct": jnp.sum(jnp.argmax(logits, axis=-1) == label_idx),
             "count": jnp.asarray(logits.shape[0]),
         }
+        if updated_variables is not None:
+            metrics["_updated_variables"] = updated_variables
         return loss, metrics
 
 
@@ -73,14 +93,27 @@ class CLIPStrategy:
         """Contrastive loss over model-reported audio/text features."""
         variables = {"params": params, **extra_variables}
         rngs = {"dropout": rng} if (train and rng is not None) else None
-        out = apply_fn(
-            variables,
-            batch["raw_wav"],
-            batch.get("text_tokens"),
-            batch.get("padding_mask"),
-            deterministic=not train,
-            rngs=rngs,
-        )
+        updated_variables = None
+        if train and "batch_stats" in extra_variables:
+            out, mutated = apply_fn(
+                variables,
+                batch["raw_wav"],
+                batch.get("text_tokens"),
+                batch.get("padding_mask"),
+                deterministic=not train,
+                rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            updated_variables = {**extra_variables, **mutated}
+        else:
+            out = apply_fn(
+                variables,
+                batch["raw_wav"],
+                batch.get("text_tokens"),
+                batch.get("padding_mask"),
+                deterministic=not train,
+                rngs=rngs,
+            )
         features = out[0] if isinstance(out, tuple) else out
         loss, aux = clip_loss(
             features["audio_features"], features["text_features"], features["logit_scale"]
@@ -90,6 +123,8 @@ class CLIPStrategy:
             "t2a_correct": aux["t2a_correct"],
             "count": jnp.asarray(features["audio_features"].shape[0]),
         }
+        if updated_variables is not None:
+            metrics["_updated_variables"] = updated_variables
         return loss, metrics
 
 

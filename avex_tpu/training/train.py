@@ -158,6 +158,17 @@ class Trainer:
     def _make_apply_fn(self) -> Callable:
         module = self.model.module
 
+        if self.mode == "clip":
+            process_audio = self.model.process_audio
+
+            def apply_fn(variables, wav, text_tokens, padding_mask=None, rngs=None, **kwargs):
+                # Frontend (STFT→mel→3-channel) traces into the same jitted
+                # step as both towers.
+                spec = process_audio(wav)
+                return module.apply(variables, spec, text_tokens, padding_mask, rngs=rngs, **kwargs)
+
+            return apply_fn
+
         def apply_fn(variables, *args, rngs=None, **kwargs):
             return module.apply(variables, *args, rngs=rngs, **kwargs)
 
@@ -203,8 +214,14 @@ class Trainer:
                 # Model-owned state refresh inside the compiled step
                 # (e.g. EMA teacher update for SSL pretraining).
                 params = post_update(params)
+            # BatchNorm-style mutated collections flow back into state.
+            extra_variables = metrics.pop("_updated_variables", state.extra_variables)
             new_state = state.replace(
-                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+                step=state.step + 1,
+                params=params,
+                extra_variables=extra_variables,
+                opt_state=opt_state,
+                rng=rng,
             )
             return new_state, loss, metrics
 
@@ -251,6 +268,12 @@ class Trainer:
         t0 = time.time()
         for step_idx, batch in enumerate(loader):
             labels = batch.get("label")
+            if self.mode == "clip" and "text_label" in batch:
+                # Tokenize host-side; the string column itself never crosses
+                # to the device (shard_batch drops non-numeric leaves). Audio
+                # preprocessing happens inside the jitted step (_make_apply_fn).
+                batch = dict(batch)
+                batch["text_tokens"] = self.model.tokenize(batch["text_label"])
             device_batch = shard_batch(batch, self.mesh)
             if train:
                 self.state, loss, metrics = self._train_step(self.state, device_batch)
