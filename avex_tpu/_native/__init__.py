@@ -86,6 +86,22 @@ def native_available() -> bool:
     return _get_lib() is not None
 
 
+def pcm_to_float(wav: np.ndarray) -> np.ndarray:
+    """Integer PCM → float32 in [-1, 1], scaled by the *original* dtype.
+
+    (The reference gets this from soundfile; scipy.io.wavfile returns raw
+    integer samples, so the scale factor must branch on dtype — a magnitude
+    heuristic misscales int32 PCM and leaves quiet int16 clips unscaled.)
+    """
+    if wav.dtype == np.int16:
+        return wav.astype(np.float32) / 2.0**15
+    if wav.dtype == np.int32:
+        return wav.astype(np.float32) / 2.0**31
+    if wav.dtype == np.uint8:
+        return (wav.astype(np.float32) - 128.0) / 128.0
+    return wav.astype(np.float32)
+
+
 def decode_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
     """Decode a WAV file → (float32 waveform in [-1, 1], sample_rate).
 
@@ -124,9 +140,7 @@ def decode_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
     from scipy.io import wavfile
 
     sr_py, wav = wavfile.read(path)
-    wav = wav.astype(np.float32)
-    if wav.dtype != np.float32 or np.abs(wav).max() > 2.0:
-        wav = wav / 32768.0
+    wav = pcm_to_float(wav)
     if mono and wav.ndim == 2:
         wav = wav.mean(axis=1)
     return wav, int(sr_py)

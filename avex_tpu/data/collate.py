@@ -41,10 +41,10 @@ class NoiseAugmenter:
             return np.load(path).astype(np.float32)
         from scipy.io import wavfile
 
+        from avex_tpu._native import pcm_to_float
+
         _sr, wav = wavfile.read(path)
-        wav = wav.astype(np.float32)
-        if np.abs(wav).max() > 2.0:
-            wav = wav / 32768.0
+        wav = pcm_to_float(wav)
         return wav if wav.ndim == 1 else wav.mean(axis=1)
 
     def __call__(self, wav: np.ndarray) -> np.ndarray:

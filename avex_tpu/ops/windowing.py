@@ -42,10 +42,16 @@ def window_waveform(
         out[0, : len(wav)] = wav
         return out, np.zeros(1, np.int64)
     starts = list(range(0, len(wav) - window_samples + 1, hop))
-    tail = starts[-1] + window_samples
-    if pad_final and tail < len(wav):
-        starts.append(len(wav) - window_samples)
-    windows = np.stack([wav[s : s + window_samples] for s in starts])
+    rows = [wav[s : s + window_samples] for s in starts]
+    tail_start = starts[-1] + hop
+    if pad_final and starts[-1] + window_samples < len(wav):
+        # Hop-aligned zero-padded tail window (as documented) — no overlap
+        # with samples already covered beyond the normal hop pattern.
+        tail = np.zeros(window_samples, np.float32)
+        tail[: len(wav) - tail_start] = wav[tail_start:]
+        rows.append(tail)
+        starts.append(tail_start)
+    windows = np.stack(rows)
     return windows.astype(np.float32), np.asarray(starts, np.int64)
 
 

@@ -83,6 +83,13 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
 
     Non-numeric leaves (e.g. raw text labels kept for tokenization/logging)
     are dropped — only device-typed data crosses the host boundary.
+
+    Multi-host semantics match the reference's DistributedSampler + DDP: each
+    process's loader yields a *local* batch (``build_dataloaders`` shards the
+    dataset by process), and the global batch is their concatenation —
+    assembled with ``jax.make_array_from_process_local_data``, NOT
+    ``device_put`` (which would treat each host's local batch as the full
+    global array and silently keep only its addressable slice).
     """
 
     def is_numeric(x) -> bool:
@@ -94,15 +101,19 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
             return False
 
     data_size = mesh.shape[mesh.axis_names[0]]
+    multihost = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         # Remainder batches (e.g. a drop_last=False tail) that don't divide
         # the data axis are replicated instead — correct, and the odd shape
         # triggers its own jit specialization anyway.
-        if x.ndim == 0 or x.shape[0] % data_size != 0:
+        if x.ndim == 0 or (x.shape[0] * (jax.process_count() if multihost else 1)) % data_size != 0:
             return jax.device_put(x, replicated_sharding(mesh))
-        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        sharding = batch_sharding(mesh, x.ndim)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     if isinstance(batch, dict):
         return {k: put(v) for k, v in batch.items() if is_numeric(v)}

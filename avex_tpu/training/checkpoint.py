@@ -50,18 +50,22 @@ class CheckpointManager:
             payload["opt_state"] = opt_state
         if extra_variables:
             payload["extra_variables"] = extra_variables
-        if path.exists():
+        # Only process 0 mutates the shared directory; the orbax save call
+        # itself stays collective (all processes participate).
+        main = jax.process_index() == 0
+        if main and path.exists():
             import shutil
 
             shutil.rmtree(path)
         self._checkpointer.save(path, payload)
         self._checkpointer.wait_until_finished()
-        meta = {
-            "step": int(step),
-            "epoch": int(epoch),
-            "best_val_acc": float(best_val_acc),
-        }
-        (self.output_dir / f"{name}.meta.json").write_text(json.dumps(meta))
+        if main:
+            meta = {
+                "step": int(step),
+                "epoch": int(epoch),
+                "best_val_acc": float(best_val_acc),
+            }
+            (self.output_dir / f"{name}.meta.json").write_text(json.dumps(meta))
         logger.info("Saved checkpoint %s (epoch %d, step %d)", path, epoch, step)
         return str(path)
 

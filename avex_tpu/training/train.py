@@ -169,8 +169,13 @@ class Trainer:
 
             return apply_fn
 
-        def apply_fn(variables, *args, rngs=None, **kwargs):
-            return module.apply(variables, *args, rngs=rngs, **kwargs)
+        # Supervised/SSL: the frontend (identity for raw-waveform models,
+        # STFT→mel image for spectrogram models like ResNet/EfficientNet)
+        # traces into the jitted step alongside the module.
+        process_audio = self.model.process_audio
+
+        def apply_fn(variables, wav, *args, rngs=None, **kwargs):
+            return module.apply(variables, process_audio(wav), *args, rngs=rngs, **kwargs)
 
         return apply_fn
 
@@ -241,21 +246,56 @@ class Trainer:
         self._eval_step = jax.jit(eval_step)
 
     def _resume(self, path: str) -> None:
-        payload = self.checkpoints.load(
-            path,
-            template={
-                "params": jax.device_get(self.state.params),
-                "opt_state": jax.device_get(self.state.opt_state),
-            },
-        )
+        template = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+        }
+        extra = jax.device_get(self.state.extra_variables)
+        if extra:
+            template["extra_variables"] = extra
+        try:
+            payload = self.checkpoints.load(path, template=template)
+        except Exception:
+            if "extra_variables" not in template:
+                raise
+            # Older checkpoint without mutable collections (pre round-2 save
+            # format): restore what it has, keep init-time extra_variables.
+            template.pop("extra_variables")
+            payload = self.checkpoints.load(path, template=template)
+            logger.warning(
+                "checkpoint %s has no extra_variables (batch_stats etc.); "
+                "keeping init-time values",
+                path,
+            )
         self.state = self.state.replace(
             params=replicate(payload["params"], self.mesh),
             opt_state=replicate(payload["opt_state"], self.mesh),
             step=jnp.asarray(payload.get("step", 0), jnp.int32),
         )
+        if "extra_variables" in payload:
+            self.state = self.state.replace(
+                extra_variables=replicate(payload["extra_variables"], self.mesh)
+            )
         self.start_epoch = int(payload.get("epoch", 0))
         self.best_val_acc = float(payload.get("best_val_acc", -np.inf))
         logger.info("Resumed from %s at epoch %d", path, self.start_epoch)
+
+    def _save_kwargs(self) -> Dict[str, Any]:
+        """Host copies of everything a checkpoint must persist.
+
+        Includes mutable collections (batch_stats for BatchNorm towers) —
+        the reference's ``model.state_dict()`` checkpoints carry BN buffers
+        (checkpoint_manager.py:109); omitting them breaks eval-mode reload.
+        """
+        kwargs: Dict[str, Any] = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": int(self.state.step),
+        }
+        extra = jax.device_get(self.state.extra_variables)
+        if extra:
+            kwargs["extra_variables"] = extra
+        return kwargs
 
     # ------------------------------------------------------------------
 
@@ -319,20 +359,16 @@ class Trainer:
                 if val_metrics["primary"] > self.best_val_acc:
                     self.best_val_acc = val_metrics["primary"]
                     self.checkpoints.save_best(
-                        params=jax.device_get(self.state.params),
-                        opt_state=jax.device_get(self.state.opt_state),
-                        step=int(self.state.step),
                         epoch=epoch,
                         best_val_acc=self.best_val_acc,
+                        **self._save_kwargs(),
                     )
 
             if self.checkpoint_every_epochs and (epoch + 1) % self.checkpoint_every_epochs == 0:
                 self.checkpoints.save_epoch(
                     epoch,
-                    params=jax.device_get(self.state.params),
-                    opt_state=jax.device_get(self.state.opt_state),
-                    step=int(self.state.step),
                     best_val_acc=self.best_val_acc,
+                    **self._save_kwargs(),
                 )
 
             if self.clustering_evaluator is not None and self.clustering_evaluator.should_run(epoch):
@@ -355,11 +391,9 @@ class Trainer:
             logger.info("epoch %d done: %s", epoch, {k: round(v, 4) if isinstance(v, float) else v for k, v in train_metrics.items()})
 
         final_path = self.checkpoints.save_final(
-            params=jax.device_get(self.state.params),
-            opt_state=jax.device_get(self.state.opt_state),
-            step=int(self.state.step),
             epoch=cfg.train_epochs,
             best_val_acc=self.best_val_acc,
+            **self._save_kwargs(),
         )
         if self.model.label_mapping is not None:
             import json

@@ -76,3 +76,35 @@ def test_local_dataset_resamples(tmp_path, rng):
         DatasetConfig(name="r", kind="local", path=str(root), sample_rate=16000)
     )
     assert ds[0]["raw_wav"].shape == (16000,)
+
+
+def test_pcm_to_float_scales_by_dtype():
+    """Round-1 advisor finding: the scipy fallback scaled by a magnitude
+    heuristic — int32 PCM came out ±65536 and quiet int16 stayed unscaled.
+    Scaling must branch on the original dtype."""
+    from avex_tpu._native import pcm_to_float
+
+    i16 = np.array([-32768, 0, 16384], np.int16)
+    np.testing.assert_allclose(pcm_to_float(i16), [-1.0, 0.0, 0.5])
+    # quiet int16 (max |x| < 2) still gets scaled
+    quiet = np.array([1, -1, 0], np.int16)
+    np.testing.assert_allclose(pcm_to_float(quiet), [1 / 32768, -1 / 32768, 0.0])
+    i32 = np.array([-(2**31), 0, 2**30], np.int32)
+    np.testing.assert_allclose(pcm_to_float(i32), [-1.0, 0.0, 0.5])
+    u8 = np.array([0, 128, 255], np.uint8)
+    np.testing.assert_allclose(pcm_to_float(u8), [-1.0, 0.0, 127 / 128])
+    f32 = np.array([-0.5, 0.25], np.float32)
+    np.testing.assert_array_equal(pcm_to_float(f32), f32)
+
+
+def test_scipy_fallback_decode_scaling(tmp_path, rng, monkeypatch):
+    """With the native lib disabled, int32 WAVs must decode to [-1, 1]."""
+    import avex_tpu._native as native
+
+    monkeypatch.setattr(native, "_get_lib", lambda: None)
+    wav = (rng.standard_normal(2000) * 0.1).astype(np.float32)
+    path = tmp_path / "i32.wav"
+    _write_wav(path, wav, dtype=np.int32)
+    decoded, sr = native.decode_wav(str(path))
+    assert sr == 16000
+    np.testing.assert_allclose(decoded, wav, atol=2e-4)

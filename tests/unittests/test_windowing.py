@@ -23,8 +23,15 @@ def test_window_hop_and_tail():
     np.testing.assert_allclose(windows[1][0], 300.0)
 
     windows, offsets = window_waveform(np.arange(1100, dtype=np.float32), 400, 300)
-    # tail partial covered by a final window anchored at len-400 = 700.
-    np.testing.assert_array_equal(offsets, [0, 300, 600, 700])
+    # tail partial -> hop-aligned zero-padded window at 900 (not an
+    # overlapping window at len-400).
+    np.testing.assert_array_equal(offsets, [0, 300, 600, 900])
+    np.testing.assert_allclose(windows[-1][:200], np.arange(900, 1100, dtype=np.float32))
+    assert windows[-1][200:].sum() == 0
+
+    # pad_final=False drops the partial tail.
+    windows, offsets = window_waveform(np.arange(1100, dtype=np.float32), 400, 300, pad_final=False)
+    np.testing.assert_array_equal(offsets, [0, 300, 600])
 
 
 def test_windowed_apply_fixed_batch_shapes():
