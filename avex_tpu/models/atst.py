@@ -99,7 +99,6 @@ class FrameASTModel(nn.Module):
             spec = atst_frontend(x)
         else:
             spec = x  # (B, 64, T)
-        img = spec[:, :, :, None].transpose(0, 2, 1, 3)  # (B, T, 64, 1) NHWC? -> we patch (freq, time)
         # Patch over (freq=64, time=4): conv with kernel (64, 4) on (B, F, T, 1).
         img = spec[:, :, :, None]  # (B, 64, T, 1)
         h = nn.Conv(
@@ -120,29 +119,30 @@ class FrameASTModel(nn.Module):
         )
         tokens = tokens + pos[:, :n].astype(self.dtype)  # "cut" positional type
 
+        # Shared final LayerNorm (norm_frame): get_intermediate_layers applies
+        # it to EVERY tapped block output (atst_frame.py:1084-1099), not just
+        # the last — declare once, reuse per block.
+        norm_frame = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")
+
         intermediates: Dict[str, jnp.ndarray] = {}
         block_outputs: List[jnp.ndarray] = []
         for i in range(self.depth):
             tokens = _Block(dim=self.embed_dim, heads=self.heads, dtype=self.dtype,
                             name=f"blocks_{i}")(tokens, deterministic)
             intermediates[f"atst.blocks.{i}"] = tokens
-            block_outputs.append(tokens)
+            if self.depth - i <= self.n_blocks_out:
+                block_outputs.append(norm_frame(tokens))
 
-        tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
-        block_outputs[-1] = tokens
-
-        # timestamp embedding: concat of the last n_blocks_out block outputs.
-        timestamp = jnp.concatenate(block_outputs[-self.n_blocks_out :], axis=-1)
-        scene = jnp.concatenate(
-            [jnp.concatenate([b.mean(axis=1), b.max(axis=1)], axis=-1)
-             for b in block_outputs[-self.n_blocks_out :]],
-            axis=-1,
-        )
+        # timestamp embedding: concat of the last n_blocks_out normed block
+        # outputs (atst_frame.py:1859-1901, scene=False path); scene embedding
+        # = per-block mean pool (scene=True path, nprompt=0).
+        timestamp = jnp.concatenate(block_outputs, axis=-1)
+        scene = jnp.concatenate([b.mean(axis=1) for b in block_outputs], axis=-1)
         aux = {
             "intermediates": intermediates,
             "timestamp_embedding": timestamp,
             "scene_embedding": scene,
-            "features": tokens,
+            "features": block_outputs[-1],
         }
         aux["pooled"] = timestamp.mean(axis=1)
         if self.num_classes is None:
@@ -171,13 +171,21 @@ def convert_atst_state_dict(
         node[path[-1]] = jnp.asarray(np.asarray(value, np.float32))
 
     for key, value in normalized.items():
-        if key == "patch_embed.proj.weight":
+        if key == "patch_embed.proj.weight":  # CNN patch embed (Conv2d DCHW)
             put(("patch_embed", "kernel"), np.transpose(value, (2, 3, 1, 0)))
-        elif key == "patch_embed.proj.bias":
+        elif key == "patch_embed.patch_embed.weight":
+            # Linear patch embed (PatchEmbed_v2, atst_frame.py:705-758): the
+            # Rearrange packs features as (p1=freq, p2=time, c) — exactly the
+            # (H, W, C) minor dims of our conv kernel, so W.T reshapes in.
+            v = np.asarray(value, np.float32)  # (D, 64*4*1)
+            put(("patch_embed", "kernel"), v.T.reshape(64, 4, 1, v.shape[0]))
+        elif key in ("patch_embed.proj.bias", "patch_embed.patch_embed.bias"):
             put(("patch_embed", "bias"), value)
         elif key == "pos_embed":
-            put(("pos_embed",), np.asarray(value))
-        elif key in ("norm.weight", "norm.bias"):
+            # Reference pos_embed carries a class-token slot at index 0 that
+            # the "cut" path skips (pos_embed[:, 1:T+1], atst_frame.py:914).
+            put(("pos_embed",), np.asarray(value)[:, 1:])
+        elif key in ("norm.weight", "norm.bias", "norm_frame.weight", "norm_frame.bias"):
             put(("norm", "scale" if key.endswith("weight") else "bias"), value)
         elif key.startswith("blocks."):
             parts = key.split(".")

@@ -211,20 +211,27 @@ class ModelBase:
 
         def extract(variables, x, padding_mask):
             _, aux = self.module.apply(variables, x, padding_mask, **self._apply_kwargs())
-            inter = aux["intermediates"]
-            missing = [name for name in layers if name not in inter]
-            if missing:
-                raise ValueError(
-                    f"Some requested layers did not produce outputs: {missing}. "
-                    f"Available: {list(inter.keys())}"
-                )
-            embs = [inter[name] for name in layers]
-            if aggregation == "none":
-                return embs[0] if len(embs) == 1 else tuple(embs)
-            embs = [self._aggregate(e, aggregation) for e in embs]
-            return embs[0] if len(embs) == 1 else jnp.concatenate(embs, axis=1)
+            return self._select_intermediates(aux["intermediates"], layers, aggregation)
 
         return extract
+
+    @classmethod
+    def _select_intermediates(
+        cls, inter: Dict[str, jnp.ndarray], layers: Tuple[str, ...], aggregation: str
+    ):
+        """Pick requested layers from an intermediates dict and pool/concat
+        them per the output contract (base_model.py:426-453)."""
+        missing = [name for name in layers if name not in inter]
+        if missing:
+            raise ValueError(
+                f"Some requested layers did not produce outputs: {missing}. "
+                f"Available: {list(inter.keys())}"
+            )
+        embs = [inter[name] for name in layers]
+        if aggregation == "none":
+            return embs[0] if len(embs) == 1 else tuple(embs)
+        embs = [cls._aggregate(e, aggregation) for e in embs]
+        return embs[0] if len(embs) == 1 else jnp.concatenate(embs, axis=1)
 
     def extract_embeddings(
         self,

@@ -154,7 +154,18 @@ class CLIPModule(nn.Module):
             "text_features": text_emb,
             "logit_scale": jnp.clip(logit_scale, max=LOGIT_SCALE_MAX),
         }
-        aux = {"intermediates": {"audio_projection": audio_emb, "text_projection": text_emb}}
+        # Audio-tower taps exposed for layer-wise extraction (exceeds the
+        # reference, whose CLIP extract_embeddings ignores the layer list —
+        # clip.py:143-190). Conv maps (B,C,H,W) flatten to (B, HW, C) so the
+        # standard mean/max aggregation applies.
+        inter = {"audio_projection": audio_emb, "text_projection": text_emb,
+                 "audio_pooled": audio_feat}
+        for name, value in audio_aux.get("intermediates", {}).items():
+            if value.ndim == 4:  # NCHW
+                b, c = value.shape[0], value.shape[1]
+                value = jnp.transpose(value, (0, 2, 3, 1)).reshape(b, -1, c)
+            inter[f"audio_encoder.{name}"] = value
+        aux = {"intermediates": inter}
         return out, aux
 
 
@@ -278,7 +289,16 @@ class Model(ModelBase):
 
     def _discover_embedding_layers(self) -> None:
         if not self._layer_names:
-            self._layer_names = ["audio_projection", "text_projection"]
+            # Audio-side layers only: text_projection from dummy tokens would
+            # be meaningless in audio extraction, so it is not selectable.
+            dummy_audio = jax.ShapeDtypeStruct((1, 3, 128, 64), jnp.float32)
+            dummy_text = jax.ShapeDtypeStruct((1, 4), jnp.int32)
+            _, aux = jax.eval_shape(
+                lambda v, a, t: self.module.apply(v, a, t, **self._apply_kwargs()),
+                self.variables, dummy_audio, dummy_text,
+            )
+            names = [n for n in aux["intermediates"] if n.startswith("audio_encoder.")]
+            self._layer_names = names + ["audio_pooled", "audio_projection"]
 
     def tokenize(self, texts: List[str]) -> np.ndarray:
         """Texts → padded token-id batch (HF tokenizer or offline fallback)."""
@@ -311,11 +331,30 @@ class Model(ModelBase):
 
     __call__ = forward
 
-    def extract_embeddings(self, x, padding_mask=None, **_kwargs):
+    def extract_fn(self, layers, aggregation):
+        """Audio-only extraction: frontend + both towers trace into one jitted
+        fn; the text tower runs on a 2-token dummy (its output is never
+        selected — discovery exposes audio-side layers only)."""
+
+        def extract(variables, wav, padding_mask):
+            spec = self.process_audio(wav)
+            tokens = jnp.ones((spec.shape[0], 2), jnp.int32)
+            _, aux = self.module.apply(variables, spec, tokens, **self._apply_kwargs())
+            return self._select_intermediates(aux["intermediates"], layers, aggregation)
+
+        return extract
+
+    def extract_embeddings(self, x, padding_mask=None, aggregation="none", **_kwargs):
         if isinstance(x, dict):
             padding_mask = x.get("padding_mask", padding_mask)
             x = x["raw_wav"]
-        return self.forward(x)
+        if not self._hook_layers:
+            # Reference default (clip.py:143-190): projected audio features.
+            return self.forward(x)
+        layers = tuple(self._hook_layers)
+        fn = self._jit(("extract", layers, aggregation), self.extract_fn(layers, aggregation))
+        out = fn(self.variables, jnp.asarray(x), None)
+        return list(out) if isinstance(out, tuple) else out
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
         from avex_tpu.models.efficientnet import convert_efficientnet_state_dict

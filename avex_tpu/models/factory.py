@@ -65,6 +65,15 @@ def build_model_from_spec(
     kwargs.update(overrides)
 
     signature = inspect.signature(cls.__init__)
+    # Models without an ``init_config`` parameter take their architecture
+    # knobs as direct constructor kwargs (projection_dim, temperature, ... —
+    # the reference reads these off free-form config attributes,
+    # get_model.py:77-85); expand the dict for them.
+    if "init_config" not in signature.parameters and isinstance(
+        kwargs.get("init_config"), dict
+    ):
+        for key, value in kwargs.pop("init_config").items():
+            kwargs.setdefault(key, value)
     accepts_var_kw = any(
         p.kind is inspect.Parameter.VAR_KEYWORD for p in signature.parameters.values()
     )

@@ -33,7 +33,11 @@ def test_atst_conversion(rng):
             np.asarray(params["patch_embed"]["kernel"]), (3, 2, 0, 1)
         ),
         "patch_embed.proj.bias": np.asarray(params["patch_embed"]["bias"]),
-        "pos_embed": np.asarray(params["pos_embed"]),
+        # reference pos_embed carries a class-token slot at index 0 that the
+        # converter strips (the "cut" path skips it, atst_frame.py:914)
+        "pos_embed": np.concatenate(
+            [np.zeros((1, 1, 768), np.float32), np.asarray(params["pos_embed"])], axis=1
+        ),
         "norm.weight": np.asarray(params["norm"]["scale"]),
         "norm.bias": np.asarray(params["norm"]["bias"]),
     }

@@ -26,6 +26,58 @@ def _load_module(name: str, path: Path, package: str | None = None):
     return module
 
 
+def load_reference_atst():
+    """Return the reference ATST-Frame module (FrameAST & friends) for use as
+    a numerical oracle.
+
+    ``atst_frame.py`` imports torchaudio / torchvision / pytorch_lightning /
+    avex.utils, none of which we need for the FrameAST forward path — they are
+    stubbed with minimal placeholder modules before loading.
+    """
+    name = "_refatst"
+    if name in sys.modules:
+        return sys.modules[name]
+
+    def _stub(mod_name: str, **attrs):
+        if mod_name in sys.modules:
+            return sys.modules[mod_name]
+        mod = types.ModuleType(mod_name)
+        for key, value in attrs.items():
+            setattr(mod, key, value)
+        sys.modules[mod_name] = mod
+        return mod
+
+    class _LightningModule:  # placeholder base class; never exercised
+        def __init__(self, *a, **k):
+            pass
+
+        @classmethod
+        def load_from_checkpoint(cls, *a, **k):  # pragma: no cover
+            raise RuntimeError("lightning stub")
+
+    import torch
+
+    _stub("torchaudio", transforms=types.SimpleNamespace())
+    _stub(
+        "torchvision",
+        transforms=types.SimpleNamespace(Compose=lambda t: t),
+    )
+    _stub("torchvision.transforms", Compose=lambda t: t)
+    _stub(
+        "pytorch_lightning",
+        LightningModule=_LightningModule,
+    )
+    _stub("avex", __path__=[])
+    _stub("avex.utils", universal_torch_load=lambda *a, **k: {})
+
+    module = _load_module(
+        name, REFERENCE_ROOT / "avex" / "models" / "atst_frame" / "atst_frame.py"
+    )
+    assert hasattr(module, "FrameAST")
+    _ = torch  # keep the import explicit for readers
+    return module
+
+
 def load_reference_beats():
     """Return the reference BEATs modules as a namespace.
 
