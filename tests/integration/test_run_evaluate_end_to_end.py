@@ -122,6 +122,7 @@ def test_offline_linear_probe_with_retrieval_and_clustering(tmp_path):
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_online_attention_probe(tmp_path):
     config = _eval_config(
         tmp_path,
@@ -140,6 +141,7 @@ def test_online_attention_probe(tmp_path):
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_online_unfrozen_finetune(tmp_path):
     config = _eval_config(
         tmp_path,

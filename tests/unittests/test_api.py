@@ -141,6 +141,7 @@ def test_extract_embeddings_without_registration_raises():
         model.extract_embeddings(np.zeros((1, 16000), dtype=np.float32))
 
 
+@pytest.mark.slow
 def test_load_model_end_to_end_with_safetensors(tmp_path, rng):
     """Reference torch weights → safetensors → load_model → output parity."""
     import torch
@@ -205,6 +206,7 @@ def test_load_model_end_to_end_with_safetensors(tmp_path, rng):
     np.testing.assert_allclose(ours, expected, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_load_model_features_only(tmp_path, rng):
     model = avex_tpu.build_model_from_spec(_tiny_beats_spec(), return_features_only=True)
     wav = (rng.standard_normal((1, 16000)) * 0.1).astype(np.float32)

@@ -12,6 +12,7 @@ def _spec():
     return ModelSpec(name="aves_bio", pretrained=False, audio_config=None)
 
 
+@pytest.mark.slow
 def test_parameter_count_matches_hubert_base():
     """Analytic HuBERT-base count: conv extractor 4,200,448 (+1,024 GroupNorm
     affine) + feature projection 394,  + pos conv + 12 encoder layers of
@@ -38,12 +39,14 @@ def test_forward_framing_and_embeddings(rng):
     assert emb.shape == (2, 768)
 
 
+@pytest.mark.slow
 def test_classifier_head(rng):
     model = avex_tpu.build_model_from_spec(_spec(), num_classes=6)
     wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
     assert model(wav).shape == (2, 6)
 
 
+@pytest.mark.slow
 def test_conversion_covers_all_params():
     """A synthetic torchaudio-style state dict maps onto every flax leaf."""
     from avex_tpu.models.aves import CONV_LAYERS, Model as AVESWrapper, convert_aves_state_dict

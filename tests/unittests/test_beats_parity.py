@@ -98,6 +98,7 @@ def test_small_beats_feature_parity(rng, with_mask):
     np.testing.assert_allclose(ours, expected, atol=2e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_small_beats_intermediates_match_reference_hooks(rng):
     import torch
 
@@ -139,6 +140,7 @@ def test_small_beats_intermediates_match_reference_hooks(rng):
         )
 
 
+@pytest.mark.slow
 def test_finetuned_predictor_parity(rng):
     import torch
 

@@ -14,6 +14,11 @@ def _spec():
         text_model_name="roberta-base",
         projection_dim=64,
         temperature=0.07,
+        # small text tower: the full roberta-base path is covered by
+        # tests/unittests/test_roberta_parity.py
+        extra_config={
+            "text_encoder": {"layers": 2, "dim": 64, "heads": 4, "ffn_dim": 128, "vocab_size": 1024}
+        },
         audio_config={
             "n_fft": 400,
             "hop_length": 160,
@@ -44,6 +49,7 @@ def test_forward_contract(clip_model, rng):
     np.testing.assert_allclose(t2[0], t2[1], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_clip_loss_integration(clip_model, rng):
     from avex_tpu.training.losses import clip_loss
     import jax.numpy as jnp

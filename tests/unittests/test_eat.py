@@ -18,6 +18,7 @@ def _spec():
     )
 
 
+@pytest.mark.slow
 def test_vit_base_parameter_count():
     """ViT-base trunk: 12 blocks x 7,087,872 + patch embed (1ch 16x16)
     196,  + cls + 2 extra LayerNorms."""
@@ -45,12 +46,14 @@ def test_forward_token_grid(rng):
     assert emb.shape == (2, 768)
 
 
+@pytest.mark.slow
 def test_classifier_pooling(rng):
     model = avex_tpu.build_model_from_spec(_spec(), num_classes=5)
     wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
     assert model(wav).shape == (2, 5)
 
 
+@pytest.mark.slow
 def test_conversion_fairseq_and_wrapper_naming():
     from avex_tpu.models.eat import Model as EATWrapper, convert_eat_state_dict
 

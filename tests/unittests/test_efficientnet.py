@@ -32,6 +32,7 @@ def _spec(variant="b0"):
     )
 
 
+@pytest.mark.slow
 def test_b0_parameter_count_matches_torchvision():
     """torchvision efficientnet_b0(num_classes=1000) has 5,288,548 params."""
     model = avex_tpu.build_model_from_spec(_spec(), num_classes=1000)
@@ -44,6 +45,7 @@ def test_b1_depths():
     assert depths == [2, 3, 3, 4, 4, 5, 2]
 
 
+@pytest.mark.slow
 def test_forward_and_layer_discovery(rng):
     model = avex_tpu.build_model_from_spec(_spec(), num_classes=7)
     layers = model.get_model_layers()
@@ -58,6 +60,7 @@ def test_forward_and_layer_discovery(rng):
     assert logits.shape == (2, 7)
 
 
+@pytest.mark.slow
 def test_extract_embeddings_4d_and_probe(rng):
     model = avex_tpu.build_model_from_spec(_spec(), num_classes=None)
     model.register_hooks_for_layers(["model.features.8.0"])
@@ -77,6 +80,7 @@ def test_extract_embeddings_4d_and_probe(rng):
     assert probe(wav).shape == (2, 3)
 
 
+@pytest.mark.slow
 def test_conversion_roundtrip():
     """A torchvision-key-format state dict maps onto every flax leaf."""
     import jax

@@ -8,6 +8,7 @@ from avex_tpu.configs import ModelSpec
 from avex_tpu.utils.tree import count_params
 
 
+@pytest.mark.slow
 def test_atst_forward_and_timestamp_embedding(rng):
     model = avex_tpu.build_model_from_spec(
         ModelSpec(name="atst", pretrained=False), num_classes=None
@@ -23,6 +24,7 @@ def test_atst_forward_and_timestamp_embedding(rng):
     assert emb.shape == (2, 768)
 
 
+@pytest.mark.slow
 def test_atst_conversion(rng):
     from avex_tpu.models.atst import Model as ATSTWrapper, convert_atst_state_dict
 
@@ -73,6 +75,7 @@ def test_birdmae_base_forward(rng):
     assert feats.shape == (1, 513, 768)
 
 
+@pytest.mark.slow
 def test_perch_interface(rng):
     model = avex_tpu.build_model_from_spec(ModelSpec(name="perch", pretrained=False))
     wav = rng.standard_normal((2, 32000)).astype(np.float32) * 0.1  # 1s -> padded to 5s

@@ -25,7 +25,10 @@ def _spec(variant):
 
 @pytest.mark.parametrize(
     "variant,expected",
-    [("resnet18", 11_689_512), ("resnet50", 25_557_032)],
+    [
+        ("resnet18", 11_689_512),
+        pytest.param("resnet50", 25_557_032, marks=pytest.mark.slow),
+    ],
 )
 def test_parameter_counts_match_torchvision(variant, expected):
     model = avex_tpu.build_model_from_spec(_spec(variant), num_classes=1000)
@@ -45,6 +48,7 @@ def test_forward_and_embeddings(rng):
     assert emb.ndim == 4 and emb.shape[1] == 512  # NCHW
 
 
+@pytest.mark.slow
 def test_conversion_from_torchvision_keys(rng):
     """Synthetic torchvision-style state dict loads into every leaf."""
     from avex_tpu.models.resnet import Model as ResNetModelWrapper, convert_resnet_state_dict
