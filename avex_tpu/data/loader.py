@@ -1,16 +1,21 @@
-"""DataLoader: seeded shuffling, batching, background prefetch.
+"""DataLoader: seeded shuffling, batching, parallel decode, prefetch.
 
 Counterpart of the reference's torch ``DataLoader`` setup
-(avex/data/dataset.py:521-636). Host-side numpy batching with a
-thread-pool prefetcher that overlaps item loading/augmentation with TPU
-compute — the TPU-side analogue of worker processes feeding H2D copies.
-``set_epoch`` reseeds the shuffle like ``DistributedSampler.set_epoch``.
+(avex/data/dataset.py:521-636). Host-side numpy batching where
+``num_workers`` threads decode/augment items concurrently (the reference's
+spawn-context worker processes; threads suffice here because the native WAV
+decoder and numpy release the GIL) while a producer thread assembles batches
+in deterministic order and keeps ``prefetch`` of them ready for the
+accelerator. ``set_epoch`` reseeds the shuffle like
+``DistributedSampler.set_epoch``.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
@@ -77,15 +82,37 @@ class DataLoader:
         if self.num_workers <= 0:
             yield from self._batches()
             return
-        # Background thread keeps `prefetch` batches ready while the
-        # accelerator is busy with the current step.
+        # num_workers threads decode items concurrently; a producer thread
+        # pipelines `prefetch + 1` batches of in-flight item futures, collates
+        # them in deterministic batch order, and keeps `prefetch` finished
+        # batches queued while the accelerator runs the current step.
+        idx = self._indices()
+        end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
+        chunks = [idx[s : s + self.batch_size] for s in range(0, end, self.batch_size)]
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def producer() -> None:
             try:
-                for batch in self._batches():
-                    q.put(batch)
+                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                    pending: deque = deque()
+                    chunk_iter = iter(chunks)
+
+                    def submit_next() -> None:
+                        chunk = next(chunk_iter, None)
+                        if chunk is not None:
+                            pending.append(
+                                [pool.submit(self.dataset.__getitem__, int(i)) for i in chunk]
+                            )
+
+                    for _ in range(self.prefetch + 1):
+                        submit_next()
+                    while pending:
+                        items = [f.result() for f in pending.popleft()]
+                        q.put(self.collate_fn(items))
+                        submit_next()
+            except BaseException as err:  # surface worker errors to the consumer
+                q.put(err)
             finally:
                 q.put(sentinel)
 
@@ -95,5 +122,8 @@ class DataLoader:
             batch = q.get()
             if batch is sentinel:
                 break
+            if isinstance(batch, BaseException):
+                thread.join()
+                raise batch
             yield batch
         thread.join()

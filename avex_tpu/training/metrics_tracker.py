@@ -8,11 +8,14 @@ only synchronizes the small logits/count tensors, not the whole step).
 
 from __future__ import annotations
 
+import logging
 from typing import Dict, List, Optional
 
 import numpy as np
 
 from avex_tpu.metrics import get_metric_class
+
+logger = logging.getLogger(__name__)
 
 
 class MetricsTracker:
@@ -42,10 +45,30 @@ class MetricsTracker:
         }
 
     def update(self, loss, step_metrics: Dict, labels=None) -> None:
-        """Accumulate one step's loss and mode-specific statistics."""
+        """Accumulate one step's loss and mode-specific statistics.
+
+        Also hosts the NaN/Inf debug guards (≈ reference
+        training_strategies.py:74-106): non-finite loss or model outputs log a
+        warning with output stats so blowups are diagnosable from the logs.
+        """
         count = int(np.asarray(step_metrics.get("count", 0)))
-        self.loss_sum += float(np.asarray(loss)) * max(count, 1)
+        loss_value = float(np.asarray(loss))
+        if not np.isfinite(loss_value):
+            logger.warning("Non-finite loss detected: %s", loss_value)
+        self.loss_sum += loss_value * max(count, 1)
         self.sample_count += count
+        nonfinite = step_metrics.get("nonfinite_logits")
+        if nonfinite is not None and int(np.asarray(nonfinite)) > 0:
+            msg = f"{int(np.asarray(nonfinite))} non-finite values in model outputs!"
+            if "logits" in step_metrics:
+                logits = np.asarray(step_metrics["logits"])
+                finite = logits[np.isfinite(logits)]
+                if finite.size:
+                    msg += (
+                        f" finite stats: min={finite.min():.6f}"
+                        f" max={finite.max():.6f} mean={finite.mean():.6f}"
+                    )
+            logger.warning(msg)
         if self.mode == "supervised":
             self.correct += int(np.asarray(step_metrics.get("correct", 0)))
             if labels is not None and "logits" in step_metrics:

@@ -74,6 +74,10 @@ class SupervisedStrategy:
             "logits": logits,
             "correct": jnp.sum(jnp.argmax(logits, axis=-1) == label_idx),
             "count": jnp.asarray(logits.shape[0]),
+            # NaN/Inf debug guard (≈ training_strategies.py:74-106): the count
+            # is computed in-graph (free) and surfaced host-side by
+            # MetricsTracker, which warns when it is non-zero.
+            "nonfinite_logits": jnp.sum(~jnp.isfinite(logits)),
         }
         if updated_variables is not None:
             metrics["_updated_variables"] = updated_variables

@@ -1,14 +1,27 @@
 """Headline benchmark: BEATs embedding-extraction throughput (clips/sec/chip).
 
 Measures the north-star metric from BASELINE.json: full-size (12-layer, 768-d)
-BEATs forward over 5s @ 16 kHz clips on one TPU chip, in the parity-safe
-numeric configuration (fp32 params, HIGHEST-precision frontend — the same
-path the fingerprint tests validate). The CPU baseline is the reference torch
-implementation measured on this host (override with AVEX_CPU_BASELINE to skip
-the torch run).
+BEATs forward over 5s @ 16 kHz clips on one TPU chip.
+
+Variants reported in the single JSON line:
+  - value / vs_baseline: fp32 params, HIGHEST-precision frontend (the exact
+    numeric configuration the parity/fingerprint tests validate) at the
+    default batch — the apples-to-apples headline.
+  - bf16_clips_per_sec: bfloat16 compute dtype (frontend stays fp32-pinned).
+  - sweep: clips/sec at additional batch sizes (AVEX_BENCH_SWEEP, comma list).
+  - mfu_pct / bf16_mfu_pct: model FLOP utilization from XLA's own
+    cost-analysis FLOP count against the chip's peak (AVEX_TPU_PEAK_TFLOPS,
+    default 197 = v5e bf16 peak; fp32 MFU uses the same denominator, i.e. a
+    lower bound).
+  - wav_e2e_clips_per_sec: end-to-end from WAV files on disk through the
+    multi-worker loader (decode + resample + collate) into per-batch device
+    dispatch — the "is the loader the bottleneck?" number.
+
+The CPU baseline is the reference torch implementation measured on this host
+(override with AVEX_CPU_BASELINE to skip the torch run).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N, ...}
 """
 
 import json
@@ -18,9 +31,11 @@ import time
 
 import numpy as np
 
+CLIP_SECONDS = 5
+SR = 16000
 
-def _measure_tpu(batch_size: int = 128, clip_seconds: int = 5, iters: int = 10) -> dict:
-    import jax
+
+def _make_model(dtype_name: str):
     import jax.numpy as jnp
 
     from avex_tpu.models.beats import BEATsBackbone, BEATsConfig
@@ -28,11 +43,18 @@ def _measure_tpu(batch_size: int = 128, clip_seconds: int = 5, iters: int = 10) 
     cfg = BEATsConfig(
         dropout=0.0, attention_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0
     )
-    model = BEATsBackbone(cfg=cfg, dtype=jnp.float32)
+    dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    return BEATsBackbone(cfg=cfg, dtype=dtype)
+
+
+def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    model = _make_model(dtype_name)
     rng = np.random.default_rng(0)
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, clip_seconds * 16000), jnp.float32),
+        jax.random.PRNGKey(0), jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32)
     )
 
     # The iteration loop runs ON DEVICE (lax.scan over pre-staged batches,
@@ -41,36 +63,111 @@ def _measure_tpu(batch_size: int = 128, clip_seconds: int = 5, iters: int = 10) 
     # used here adds ~40 ms/call that doesn't exist on a local TPU host.
     # (block_until_ready is also unreliable through that tunnel; the scalar
     # float() fetch is the sync.)
-    @jax.jit
     def scan_forward(v, batches):
         def body(carry, wav):
             feats, _ = model.apply(v, wav)
-            return carry + feats.mean(), None
+            return carry + feats.astype(jnp.float32).mean(), None
 
         total, _ = jax.lax.scan(body, jnp.float32(0), batches)
         return total
 
-    n = batch_size
     stacked = jnp.asarray(
-        (rng.standard_normal((iters, n, clip_seconds * 16000)) * 0.1).astype(np.float32)
+        (rng.standard_normal((iters, batch_size, CLIP_SECONDS * SR)) * 0.1).astype(np.float32)
     )
-    float(scan_forward(variables, stacked))  # compile + warmup
+    compiled = jax.jit(scan_forward).lower(variables, stacked).compile()
+    flops_per_run = None
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_run = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
+
+    float(compiled(variables, stacked))  # warmup
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        float(scan_forward(variables, stacked))
+        float(compiled(variables, stacked))
         best = min(best, time.perf_counter() - t0)
-    clips_per_sec = n * iters / best
-    return {
-        "clips_per_sec": clips_per_sec,
-        "batch_size": n,
+    out = {
+        "clips_per_sec": batch_size * iters / best,
+        "batch_size": batch_size,
         "iters": iters,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    if flops_per_run:
+        peak = float(os.environ.get("AVEX_TPU_PEAK_TFLOPS", "197")) * 1e12
+        out["mfu_pct"] = 100.0 * (flops_per_run / best) / peak
+        out["tflops_per_sec"] = flops_per_run / best / 1e12
+    return out
 
 
-def _measure_cpu_reference(batch_size: int = 4, clip_seconds: int = 5, iters: int = 3) -> float:
+def _measure_wav_e2e(batch_size: int, num_batches: int = 8, num_workers: int = 8) -> dict:
+    """WAV files on disk → multi-worker loader → device forward, per batch."""
+    import csv
+    import tempfile
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+    from scipy.io import wavfile
+
+    from avex_tpu.configs import DatasetConfig
+    from avex_tpu.data import Collater, DataLoader
+    from avex_tpu.data.dataset import LocalAudioDataset
+
+    root = Path(tempfile.mkdtemp(prefix="avex_bench_wav_"))
+    rng = np.random.default_rng(0)
+    n_clips = batch_size * num_batches
+    rows = []
+    for i in range(n_clips):
+        wav = (rng.standard_normal(CLIP_SECONDS * SR) * 0.1 * 32767).astype(np.int16)
+        wavfile.write(root / f"clip_{i}.wav", SR, wav)
+        rows.append({"path": f"clip_{i}.wav", "label": f"c{i % 4}"})
+    with open(root / "metadata.csv", "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["path", "label"])
+        writer.writeheader()
+        writer.writerows(rows)
+
+    dataset = LocalAudioDataset(
+        DatasetConfig(name="bench", kind="local", path=str(root), num_classes=4)
+    )
+    collate = Collater(target_len=CLIP_SECONDS * SR, num_classes=4, train=False)
+    loader = DataLoader(
+        dataset, batch_size=batch_size, collate_fn=collate, shuffle=False,
+        drop_last=True, num_workers=num_workers,
+    )
+
+    model = _make_model("float32")
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32)
+    )
+
+    @jax.jit
+    def forward(v, wav):
+        feats, _ = model.apply(v, wav)
+        return feats.mean()
+
+    first = next(iter(loader))
+    float(forward(variables, first["raw_wav"]))  # compile + warmup
+
+    t0 = time.perf_counter()
+    count = 0
+    acc = None
+    for batch in loader:
+        acc = forward(variables, batch["raw_wav"])  # async dispatch
+        count += batch["raw_wav"].shape[0]
+    float(acc)  # final sync
+    elapsed = time.perf_counter() - t0
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    return {"clips_per_sec": count / elapsed, "clips": count, "num_workers": num_workers}
+
+
+def _measure_cpu_reference(batch_size: int = 4, iters: int = 3) -> float:
     """Reference torch BEATs on host CPU (the baseline we must beat 10x)."""
     env = os.environ.get("AVEX_CPU_BASELINE")
     if env:
@@ -87,7 +184,7 @@ def _measure_cpu_reference(batch_size: int = 4, clip_seconds: int = 5, iters: in
         )
         torch.manual_seed(0)
         model = ref.beats.BEATs(cfg).eval()
-        wav = torch.randn(batch_size, clip_seconds * 16000) * 0.1
+        wav = torch.randn(batch_size, CLIP_SECONDS * SR) * 0.1
         with torch.no_grad():
             model(wav, disable_layerdrop=True)  # warmup
             t0 = time.perf_counter()
@@ -102,18 +199,44 @@ def _measure_cpu_reference(batch_size: int = 4, clip_seconds: int = 5, iters: in
 
 def main() -> None:
     batch = int(os.environ.get("AVEX_BENCH_BATCH", "128"))
-    tpu = _measure_tpu(batch_size=batch)
-    cpu_clips_per_sec = _measure_cpu_reference()
+    f32 = _measure_tpu(batch_size=batch, dtype_name="float32")
     result = {
         "metric": "beats_embedding_extraction_5s16k",
-        "value": round(tpu["clips_per_sec"], 2),
+        "value": round(f32["clips_per_sec"], 2),
         "unit": "clips/sec/chip",
-        "vs_baseline": round(tpu["clips_per_sec"] / cpu_clips_per_sec, 2),
-        "cpu_reference_clips_per_sec": round(cpu_clips_per_sec, 2),
-        "batch_size": tpu["batch_size"],
-        "backend": tpu["backend"],
-        "device": tpu["device"],
+        "batch_size": f32["batch_size"],
+        "backend": f32["backend"],
+        "device": f32["device"],
     }
+    if "mfu_pct" in f32:
+        result["mfu_pct"] = round(f32["mfu_pct"], 2)
+        result["tflops_per_sec"] = round(f32["tflops_per_sec"], 2)
+
+    if os.environ.get("AVEX_BENCH_BF16", "1") == "1":
+        bf16 = _measure_tpu(batch_size=batch, dtype_name="bfloat16")
+        result["bf16_clips_per_sec"] = round(bf16["clips_per_sec"], 2)
+        if "mfu_pct" in bf16:
+            result["bf16_mfu_pct"] = round(bf16["mfu_pct"], 2)
+
+    sweep = os.environ.get("AVEX_BENCH_SWEEP", "256")
+    if sweep:
+        result["sweep"] = {}
+        for b in (int(x) for x in sweep.split(",") if x.strip()):
+            if b != batch:
+                result["sweep"][str(b)] = round(
+                    _measure_tpu(batch_size=b, dtype_name="float32", iters=6)["clips_per_sec"], 2
+                )
+
+    if os.environ.get("AVEX_BENCH_WAV", "1") == "1":
+        try:
+            wav = _measure_wav_e2e(batch_size=batch)
+            result["wav_e2e_clips_per_sec"] = round(wav["clips_per_sec"], 2)
+        except Exception as err:  # pragma: no cover
+            print(f"# wav e2e bench failed: {err}", file=sys.stderr)
+
+    cpu_clips_per_sec = _measure_cpu_reference()
+    result["cpu_reference_clips_per_sec"] = round(cpu_clips_per_sec, 2)
+    result["vs_baseline"] = round(f32["clips_per_sec"] / cpu_clips_per_sec, 2)
     print(json.dumps(result))
 
 

@@ -288,3 +288,38 @@ def test_periodic_checkpoints_and_clustering_eval(tmp_path):
     assert trainer.checkpoints.exists("checkpoint_epoch_1")
     clustering = result["history"][0].get("clustering")
     assert clustering is not None and "ari" in clustering
+
+
+def test_multiworker_loader_matches_sequential(tmp_path):
+    """num_workers>0 must yield byte-identical batches in identical order to
+    the sequential path (round-1 weakness: num_workers was a boolean in
+    disguise — one producer thread regardless)."""
+    ds = SyntheticAudioDataset(
+        DatasetConfig(name="s", kind="synthetic", num_samples=40, num_classes=4, clip_seconds=0.5, seed=3)
+    )
+    collate = Collater(target_len=8000, num_classes=4, train=False)
+    kwargs = dict(batch_size=8, collate_fn=collate, shuffle=True, seed=11)
+    seq = list(DataLoader(ds, num_workers=0, **kwargs))
+    par = list(DataLoader(ds, num_workers=4, prefetch=3, **kwargs))
+    assert len(seq) == len(par) == 5
+    for a, b in zip(seq, par):
+        assert sorted(a) == sorted(b)
+        for key in a:
+            np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_multiworker_loader_propagates_errors():
+    class Poisoned(SyntheticAudioDataset):
+        def __getitem__(self, i):
+            if i == 7:
+                raise RuntimeError("corrupt item")
+            return super().__getitem__(i)
+
+    ds = Poisoned(
+        DatasetConfig(name="p", kind="synthetic", num_samples=16, num_classes=2, clip_seconds=0.25)
+    )
+    collate = Collater(target_len=4000, num_classes=2, train=False)
+    loader = DataLoader(ds, batch_size=4, collate_fn=collate, shuffle=False,
+                        num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt item"):
+        list(loader)
