@@ -128,6 +128,23 @@ def _effnet_entry(repo: str, *, label_map: bool) -> Dict[str, Any]:
     return entry
 
 
+#: Published SHA-256 of each official safetensors export (the reference pins
+#: these in tests/unittests/test_official_models_checksums.py:28-40; they are
+#: facts about the published files, used to verify download integrity before
+#: conversion).
+OFFICIAL_MODEL_CHECKSUMS: Dict[str, str] = {
+    "esp_aves2_eat_all": "56159edf43111cd81522bee625dd79c43da80ba795bba85bf394ea1ba182c337",
+    "esp_aves2_eat_bio": "3d01d4c834683c3b0d098b09535fbc629c042cfd64b442637a4851d9deb4d62c",
+    "esp_aves2_effnetb0_all": "a9ab2bf0896493a4bf325dbd739a7fbd58971513ac171bded880a81f7982bdc1",
+    "esp_aves2_effnetb0_audioset": "58455bac5346a8c8d705b20210edfd14a5f6151fed9dd61320bda2e31030119c",
+    "esp_aves2_effnetb0_bio": "e34db5a8951f28f4d90cb06b396f4a4e716dd79e48a54e672017d832804868d7",
+    "esp_aves2_naturelm_audio_v1_beats": "ce2c16141465e11852105eaee4a32bbb4663cfe8cf7a49ddc874ea5c267f78a2",
+    "esp_aves2_sl_beats_all": "25dc242853822de6e35228b22c285886162b5f787d162280e0277c010a510e91",
+    "esp_aves2_sl_beats_bio": "1881788eb6d059d7b005e1c68235906fcb12bf3a6cde824cec7cbdc34dcb9fc3",
+    "esp_aves2_sl_eat_all_ssl_all": "af10ff12eb15b0e1343348d787b4ccb97bd3e4fe11147140c68ba646d64130cc",
+    "esp_aves2_sl_eat_bio_ssl_all": "d787a181898e4ca68e0d0fa78dc2de83b27c2bd1648bce476534fc8c5ac2c7d7",
+}
+
 #: registry key → {checkpoint_path, class_mapping_path?, model_spec}
 OFFICIAL_MODELS: Dict[str, Dict[str, Any]] = {
     "esp_aves2_sl_beats_all": _beats_entry("esp-aves2-sl-beats-all", label_map=True),
