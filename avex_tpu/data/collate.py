@@ -47,16 +47,19 @@ class NoiseAugmenter:
         wav = pcm_to_float(wav)
         return wav if wav.ndim == 1 else wav.mean(axis=1)
 
-    def __call__(self, wav: np.ndarray) -> np.ndarray:
-        if not self.noise_files or self.rng.random() > self.cfg.augmentation_prob:
+    def __call__(
+        self, wav: np.ndarray, rng: Optional[np.random.Generator] = None
+    ) -> np.ndarray:
+        rng = rng or self.rng
+        if not self.noise_files or rng.random() > self.cfg.augmentation_prob:
             return wav
-        noise = self._load_noise(self.noise_files[self.rng.integers(len(self.noise_files))])
-        noise, _ = pad_or_window_np(noise, wav.shape[-1], "random", rng=self.rng)
-        snr_db = self.rng.uniform(*self.cfg.snr_db_range)
+        noise = self._load_noise(self.noise_files[rng.integers(len(self.noise_files))])
+        noise, _ = pad_or_window_np(noise, wav.shape[-1], "random", rng=rng)
+        snr_db = rng.uniform(*self.cfg.snr_db_range)
         sig_power = np.mean(wav**2) + 1e-10
         noise_power = np.mean(noise**2) + 1e-10
         scale = np.sqrt(sig_power / (noise_power * 10 ** (snr_db / 10.0)))
-        if self.rng.random() < self.cfg.mask_signal_prob:
+        if rng.random() < self.cfg.mask_signal_prob:
             return (noise * scale).astype(np.float32)
         return (wav + noise * scale).astype(np.float32)
 
@@ -70,15 +73,18 @@ class MixupAugmenter:
         self.cfg = cfg
         self.rng = np.random.default_rng(seed)
 
-    def __call__(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        if self.rng.random() > self.cfg.augmentation_prob:
+    def __call__(
+        self, batch: Dict[str, np.ndarray], rng: Optional[np.random.Generator] = None
+    ) -> Dict[str, np.ndarray]:
+        rng = rng or self.rng
+        if rng.random() > self.cfg.augmentation_prob:
             return batch
         wav = batch["raw_wav"]
         labels = batch["label"]
         n = wav.shape[0]
         for _ in range(self.cfg.n_mixup):
-            lam = float(self.rng.beta(self.cfg.alpha, self.cfg.alpha))
-            perm = self.rng.permutation(n)
+            lam = float(rng.beta(self.cfg.alpha, self.cfg.alpha))
+            perm = rng.permutation(n)
             wav = lam * wav + (1.0 - lam) * wav[perm]
             labels = lam * labels + (1.0 - lam) * labels[perm]
         batch = dict(batch)
@@ -127,36 +133,56 @@ class Collater:
             elif isinstance(aug, MixupAugment):
                 self.batch_augments.append(MixupAugmenter(aug, seed))
 
-    def __call__(self, items: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]:
-        wavs, masks, labels, texts = [], [], [], []
-        for item in items:
+    def __call__(
+        self,
+        items: Sequence[Dict[str, Any]],
+        rng: Optional[np.random.Generator] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Assemble one batch. ``rng`` (when given) makes the call pure —
+        the DataLoader passes a per-batch generator so parallel collation is
+        deterministic regardless of worker count."""
+        rng = rng or self.rng
+        n = len(items)
+        # Windows are written straight into the preallocated batch (one copy
+        # per clip instead of pad_or_window's copy + np.stack's second copy —
+        # collate is the host-pipeline bottleneck at TPU throughputs).
+        out = np.zeros((n, self.target_len), dtype=np.float32)
+        pad_mask = np.zeros((n, self.target_len), dtype=bool)
+        labels, texts = [], []
+        for i, item in enumerate(items):
             wav = np.asarray(item["raw_wav"], dtype=np.float32)
             if wav.ndim == 2:  # stereo → mono mean (dataset.py:303-304)
                 wav = wav.mean(axis=0 if wav.shape[0] <= 2 else 1)
             if not np.isfinite(wav).all():  # corrupted-audio guard (:297-300)
                 wav = np.zeros_like(wav)
             if self.dataset_max_len and wav.shape[-1] > self.dataset_max_len:
-                wav, _ = pad_or_window_np(wav, self.dataset_max_len, "random", rng=self.rng)
+                wav, _ = pad_or_window_np(wav, self.dataset_max_len, "random", rng=rng)
             for aug in self.item_augments:
-                wav = aug(wav)
-            wav, mask = pad_or_window_np(
-                wav, self.target_len, self.window_selection, rng=self.rng
-            )
-            wavs.append(wav)
-            masks.append(mask)
+                wav = aug(wav, rng=rng)
+            length = wav.shape[-1]
+            if length > self.target_len:
+                if self.window_selection == "random":
+                    start = int(rng.integers(0, length - self.target_len + 1))
+                elif self.window_selection == "center":
+                    start = (length - self.target_len) // 2
+                elif self.window_selection == "start":
+                    start = 0
+                else:
+                    raise ValueError(f"Unknown window selection: {self.window_selection!r}")
+                out[i] = wav[start : start + self.target_len]
+            else:
+                out[i, :length] = wav
+                pad_mask[i, length:] = True
             labels.append(item.get("label", 0))
             texts.append(item.get("text_label", ""))
 
-        batch: Dict[str, Any] = {
-            "raw_wav": np.stack(wavs),
-            "padding_mask": np.stack(masks),
-        }
+        batch: Dict[str, Any] = {"raw_wav": out, "padding_mask": pad_mask}
         label_arr = self._encode_labels(labels)
         batch["label"] = label_arr
         if any(texts):
             batch["text_label"] = texts
         for aug in self.batch_augments:
-            batch = aug(batch)
+            batch = aug(batch, rng=rng)
         return batch
 
     def _encode_labels(self, labels: List[Any]) -> np.ndarray:

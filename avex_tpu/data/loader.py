@@ -15,10 +15,60 @@ from __future__ import annotations
 import queue
 import threading
 from collections import deque
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Callable, Dict, Iterator, Optional
 
 import numpy as np
+
+# --- process-worker plumbing (spawn-context; ≈ reference dataset.py:528-636).
+# The dataset + collate_fn ship once per worker via the initializer; tasks
+# then carry only (batch_idx, indices, shm slot). Large arrays travel through
+# a pre-allocated shared-memory slot ring (pickling a ~50 MB batch through
+# the result pipe is 4-5x slower than a shm memcpy — the torch loader's
+# shared-memory tensor strategy, rebuilt in numpy).
+_WORKER_DATASET = None
+_WORKER_COLLATE = None
+_WORKER_SHM = {}
+
+
+def _init_worker(dataset, collate_fn) -> None:
+    global _WORKER_DATASET, _WORKER_COLLATE
+    _WORKER_DATASET = dataset
+    _WORKER_COLLATE = collate_fn
+
+
+def _worker_shm(name: str):
+    from multiprocessing import shared_memory
+
+    if name not in _WORKER_SHM:
+        _WORKER_SHM[name] = shared_memory.SharedMemory(name=name)
+    return _WORKER_SHM[name]
+
+
+def _worker_load_batch(
+    batch_idx: int, indices, seed: int, epoch: int, accepts_rng: bool, slot_name=None
+):
+    items = [_WORKER_DATASET[int(i)] for i in indices]
+    if accepts_rng:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, epoch, batch_idx]))
+        batch = _WORKER_COLLATE(items, rng=rng)
+    else:
+        batch = _WORKER_COLLATE(items)
+    if slot_name is None:
+        return batch
+    shm = _worker_shm(slot_name)
+    offset = 0
+    layout = []
+    small = {}
+    for key, value in batch.items():
+        if isinstance(value, np.ndarray) and value.nbytes >= 1 << 16:
+            dst = np.ndarray(value.shape, value.dtype, buffer=shm.buf, offset=offset)
+            dst[...] = value
+            layout.append((key, value.shape, value.dtype.str, offset))
+            offset += value.nbytes
+        else:
+            small[key] = value
+    return {"__shm_layout__": layout, "__small__": small}
 
 
 class DataLoader:
@@ -36,6 +86,7 @@ class DataLoader:
         prefetch: int = 2,
         shard_process: Optional[int] = None,
         num_shards: int = 1,
+        worker_mode: str = "auto",
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -46,6 +97,12 @@ class DataLoader:
         self.epoch = 0
         self.num_workers = num_workers
         self.prefetch = prefetch
+        #: "process" = spawn-context worker pool (true decode/collate
+        #: parallelism, the reference's strategy); "thread" = in-process pool
+        #: (no spawn cost, but Python-level collate serializes on the GIL);
+        #: "auto" = processes when dataset + collate_fn pickle, else threads.
+        self.worker_mode = worker_mode
+        self._process_pool: Optional[ProcessPoolExecutor] = None
         # Multi-host: each process reads its own contiguous shard
         # (the DistributedSampler analogue, dataset.py:521-526).
         self.shard_process = shard_process
@@ -70,50 +127,182 @@ class DataLoader:
         n = len(self._indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
-    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _chunks(self) -> list:
         idx = self._indices()
         end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
-        for start in range(0, end, self.batch_size):
-            chunk = idx[start : start + self.batch_size]
-            items = [self.dataset[int(i)] for i in chunk]
-            yield self.collate_fn(items)
+        return [idx[s : s + self.batch_size] for s in range(0, end, self.batch_size)]
+
+    def _batch_rng(self, batch_idx: int) -> Optional[np.random.Generator]:
+        """Per-batch generator — collation randomness (window crops, noise,
+        mixup) is a pure function of (seed, epoch, batch index), identical for
+        any ``num_workers``. ``None`` for collate_fns without an rng param."""
+        if not self._collate_accepts_rng:
+            return None
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, batch_idx])
+        )
+
+    @property
+    def _collate_accepts_rng(self) -> bool:
+        import inspect
+
+        if not hasattr(self, "_accepts_rng_cache"):
+            try:
+                params = inspect.signature(self.collate_fn).parameters
+                self._accepts_rng_cache = "rng" in params
+            except (TypeError, ValueError):
+                self._accepts_rng_cache = False
+        return self._accepts_rng_cache
+
+    def _load_batch(self, batch_idx: int, chunk) -> Dict[str, np.ndarray]:
+        items = [self.dataset[int(i)] for i in chunk]
+        rng = self._batch_rng(batch_idx)
+        if rng is not None:
+            return self.collate_fn(items, rng=rng)
+        return self.collate_fn(items)
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        for batch_idx, chunk in enumerate(self._chunks()):
+            yield self._load_batch(batch_idx, chunk)
+
+    def _resolve_worker_mode(self) -> str:
+        if self.worker_mode in ("process", "thread"):
+            return self.worker_mode
+        import pickle
+
+        try:
+            pickle.dumps(self.dataset)
+            pickle.dumps(self.collate_fn)
+            return "process"
+        except Exception:
+            return "thread"
+
+    def _get_process_pool(self) -> ProcessPoolExecutor:
+        """Persistent spawn-context pool (reused across epochs; spawn cost is
+        paid once per loader, not per epoch)."""
+        if self._process_pool is None:
+            import multiprocessing as mp
+
+            self._process_pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_init_worker,
+                initargs=(self.dataset, self.collate_fn),
+            )
+        return self._process_pool
+
+    def _ensure_shm_slots(self, slot_bytes: int) -> Dict[str, object]:
+        """Persistent shm slot ring (workers cache their mappings by name, so
+        slots must live for the loader's lifetime, not one epoch)."""
+        if getattr(self, "_shm_slots", None) is None:
+            from multiprocessing import shared_memory
+
+            self._shm_slots = {}
+            for _ in range(self.prefetch + self.num_workers):
+                shm = shared_memory.SharedMemory(create=True, size=max(slot_bytes, 1))
+                self._shm_slots[shm.name] = shm
+        return self._shm_slots
+
+    def __del__(self):  # pragma: no cover - interpreter-shutdown ordering
+        pool = getattr(self, "_process_pool", None)
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
+        for shm in (getattr(self, "_shm_slots", None) or {}).values():
+            try:
+                shm.close()
+                shm.unlink()
+            except Exception:
+                pass
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         if self.num_workers <= 0:
             yield from self._batches()
             return
-        # num_workers threads decode items concurrently; a producer thread
-        # pipelines `prefetch + 1` batches of in-flight item futures, collates
-        # them in deterministic batch order, and keeps `prefetch` finished
-        # batches queued while the accelerator runs the current step.
-        idx = self._indices()
-        end = len(idx) - (len(idx) % self.batch_size) if self.drop_last else len(idx)
-        chunks = [idx[s : s + self.batch_size] for s in range(0, end, self.batch_size)]
+        # Whole batches (decode + augment + collate) run on workers —
+        # collation is the host bottleneck at TPU throughputs, so it must
+        # parallelize too. A producer keeps `prefetch + num_workers` batches
+        # in flight and emits them in deterministic order; per-batch seeded
+        # rngs keep results identical to the sequential path regardless of
+        # worker count or mode.
+        mode = self._resolve_worker_mode()
+        chunks = self._chunks()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
 
         def producer() -> None:
+            thread_pool = None
+            free_slots: deque = deque()
             try:
-                with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                    pending: deque = deque()
-                    chunk_iter = iter(chunks)
+                if mode == "process":
+                    pool = self._get_process_pool()
+                    if not chunks:
+                        return
+                    # Size the shm slot ring from the first batch (batches
+                    # are static-shape by construction; the tail batch is
+                    # never larger).
+                    first = self._load_batch(0, chunks[0])
+                    q.put(first)
+                    slot_bytes = sum(
+                        v.nbytes
+                        for v in first.values()
+                        if isinstance(v, np.ndarray) and v.nbytes >= 1 << 16
+                    )
+                    shm_slots = self._ensure_shm_slots(slot_bytes)
+                    free_slots.extend(shm_slots.keys())
 
-                    def submit_next() -> None:
-                        chunk = next(chunk_iter, None)
-                        if chunk is not None:
-                            pending.append(
-                                [pool.submit(self.dataset.__getitem__, int(i)) for i in chunk]
-                            )
+                    def submit(batch_idx, chunk):
+                        slot = free_slots.popleft()
+                        future = pool.submit(
+                            _worker_load_batch, batch_idx, list(map(int, chunk)),
+                            self.seed, self.epoch, self._collate_accepts_rng, slot,
+                        )
+                        return future, slot
 
-                    for _ in range(self.prefetch + 1):
-                        submit_next()
-                    while pending:
-                        items = [f.result() for f in pending.popleft()]
-                        q.put(self.collate_fn(items))
-                        submit_next()
+                    def collect(entry):
+                        future, slot = entry
+                        payload = future.result()
+                        batch = dict(payload["__small__"])
+                        shm = shm_slots[slot]
+                        for key, shape, dtype, offset in payload["__shm_layout__"]:
+                            batch[key] = np.ndarray(
+                                shape, np.dtype(dtype), buffer=shm.buf, offset=offset
+                            ).copy()
+                        free_slots.append(slot)
+                        return batch
+
+                    remaining = list(enumerate(chunks))[1:]
+                else:
+                    thread_pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+                    def submit(batch_idx, chunk):
+                        return thread_pool.submit(self._load_batch, batch_idx, chunk)
+
+                    def collect(entry):
+                        return entry.result()
+
+                    remaining = list(enumerate(chunks))
+
+                pending: deque = deque()
+                chunk_iter = iter(remaining)
+
+                def submit_next() -> None:
+                    nxt = next(chunk_iter, None)
+                    if nxt is not None:
+                        pending.append(submit(nxt[0], nxt[1]))
+
+                in_flight = self.prefetch + self.num_workers
+                if mode == "process":
+                    in_flight = len(free_slots)
+                for _ in range(in_flight):
+                    submit_next()
+                while pending:
+                    q.put(collect(pending.popleft()))
+                    submit_next()
             except BaseException as err:  # surface worker errors to the consumer
                 q.put(err)
             finally:
+                if thread_pool is not None:
+                    thread_pool.shutdown(wait=False)
                 q.put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)

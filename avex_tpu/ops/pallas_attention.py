@@ -44,27 +44,41 @@ def _round_up(value: int, multiple: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32)  # [T, D]
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0]
-    logits = jax.lax.dot_general(
-        q,
-        k,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    logits = logits * scale
-    gate = gate_ref[0, 0].astype(jnp.float32)  # [T, 1]
-    logits = logits + gate * bias_ref[0].astype(jnp.float32)
-    logits = logits + pad_ref[0].astype(jnp.float32)  # [1?, T] broadcast over queries
+    """One (batch-block, head) cell: `block_b` batch items share one bias load.
 
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out_ref[0, 0] = jax.lax.dot_general(
-        weights,
-        v,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(out_ref.dtype)
+    The shared ``[T, T]`` bias slice is the largest input per cell; packing
+    batch items amortizes it (and the grid overhead) ``block_b``×. The per-
+    item matmuls run as a fori_loop over 2-D dots (Mosaic maps each to the
+    MXU; a batched 3-D dot_general lowers to the same loop).
+    """
+    nb = q_ref.shape[0]
+    bias = bias_ref[0].astype(jnp.float32)  # [T, T], loaded once per cell
+
+    def body(i, _):
+        q = q_ref[i, 0].astype(jnp.float32)  # [T, D]
+        k = k_ref[i, 0].astype(jnp.float32)
+        v = v_ref[i, 0]
+        logits = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale
+        gate = gate_ref[i, 0].astype(jnp.float32)  # [T, 1]
+        logits = logits + gate * bias
+        logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over queries
+
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out_ref[i, 0] = jax.lax.dot_general(
+            weights,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nb, body, 0, unroll=True)
 
 
 def gated_bias_attention(
@@ -76,6 +90,7 @@ def gated_bias_attention(
     key_padding_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     interpret: bool = False,
+    block_b: int = 8,
 ) -> jnp.ndarray:
     """Fused ``softmax(q·kᵀ·scale + gate ⊙ bias + pad) · v``.
 
@@ -86,12 +101,16 @@ def gated_bias_attention(
         key_padding_mask: ``[B, T]`` boolean, True = padded key.
         scale: logit scale, default ``1/sqrt(D)``.
         interpret: run in the Pallas interpreter (CPU testing).
+        block_b: batch items per grid cell (shared-bias amortization).
 
     Returns:
         ``[B, H, T, D]`` in the dtype of ``v``.
     """
     bsz, heads, seq, dim = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(dim)
+    while bsz % block_b:
+        block_b //= 2
+    block_b = max(block_b, 1)
 
     # Pad to TPU tile multiples: sublane 8, lane 128.
     seq_p = _round_up(seq, 8)
@@ -122,20 +141,21 @@ def gated_bias_attention(
         key_valid = jnp.broadcast_to(valid[None, :], (bsz, seq_p))
     pad_bias = jnp.where(key_valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]  # [B,1,T]
 
-    grid = (bsz, heads)
+    grid = (bsz // block_b, heads)
+    nb = block_b
     out = pl.pallas_call(
         functools.partial(_attention_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, seq_p, seq_p), lambda b, h: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, seq_p, 1), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, seq_p), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p, 1), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
+            (nb, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, heads, seq_p, dim_p), v.dtype),
         interpret=interpret,

@@ -33,7 +33,7 @@ from avex_tpu.evaluation import (
 )
 from avex_tpu.models.factory import build_model_from_spec
 from avex_tpu.models.load import load_model
-from avex_tpu.utils.tracking import append_jsonl, write_summary_csv
+from avex_tpu.utils.tracking import append_jsonl, create_experiment_summary_csvs
 
 logger = logging.getLogger(__name__)
 
@@ -261,8 +261,12 @@ def main(config: EvaluateConfig) -> List[Dict[str, Any]]:
             if frozen:
                 cached_model = model  # reuse across sets (run_evaluate.py:1099-1137)
             results.append(result)
-            append_jsonl(save_dir / "evaluation_metadata.jsonl", result)
-    write_summary_csv(save_dir / "summary.csv", results)
-    if config.results_csv_path:
-        write_summary_csv(config.results_csv_path, results)
+            record = dict(result)
+            # Config snapshot per record: any leaderboard row is reproducible
+            # from the JSONL alone (≈ experiment_tracking.py:124-258).
+            record["config_snapshot"] = experiment.model_dump(mode="json")
+            append_jsonl(save_dir / "evaluation_metadata.jsonl", record)
+    create_experiment_summary_csvs(
+        results, save_dir, global_csv_path=config.results_csv_path
+    )
     return results

@@ -297,6 +297,29 @@ class Trainer:
             kwargs["extra_variables"] = extra
         return kwargs
 
+    def _save_metadata(
+        self, checkpoint_name: str, metrics: Dict[str, float],
+        is_best: bool = False, is_final: bool = False,
+    ) -> None:
+        """Run-id + config-snapshot row per checkpoint
+        (≈ experiment_tracking.py:27-93), process 0 only."""
+        from avex_tpu.parallel import is_main_process
+        from avex_tpu.utils.tracking import save_experiment_metadata
+
+        if not is_main_process():
+            return
+        numeric = {
+            k: float(v) for k, v in (metrics or {}).items() if isinstance(v, (int, float))
+        }
+        save_experiment_metadata(
+            self.config.output_dir,
+            self.config,
+            checkpoint_name,
+            metrics=numeric,
+            is_best=is_best,
+            is_final=is_final,
+        )
+
     # ------------------------------------------------------------------
 
     def _run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:
@@ -363,6 +386,7 @@ class Trainer:
                         best_val_acc=self.best_val_acc,
                         **self._save_kwargs(),
                     )
+                    self._save_metadata("best_model", val_metrics, is_best=True)
 
             if self.checkpoint_every_epochs and (epoch + 1) % self.checkpoint_every_epochs == 0:
                 self.checkpoints.save_epoch(
@@ -394,6 +418,11 @@ class Trainer:
             epoch=cfg.train_epochs,
             best_val_acc=self.best_val_acc,
             **self._save_kwargs(),
+        )
+        self._save_metadata(
+            "final_model",
+            history[-1]["train"] if history else {},
+            is_final=True,
         )
         if self.model.label_mapping is not None:
             import json

@@ -13,9 +13,11 @@ Variants reported in the single JSON line:
     cost-analysis FLOP count against the chip's peak (AVEX_TPU_PEAK_TFLOPS,
     default 197 = v5e bf16 peak; fp32 MFU uses the same denominator, i.e. a
     lower bound).
-  - wav_e2e_clips_per_sec: end-to-end from WAV files on disk through the
-    multi-worker loader (decode + resample + collate) into per-batch device
-    dispatch — the "is the loader the bottleneck?" number.
+  - wav_loader_clips_per_sec: WAV files on disk through the multi-worker
+    loader (decode + collate) — the "is the loader the bottleneck?" number;
+    loader_bound flags when it falls below device throughput. (A combined
+    number is meaningless on the remote-TPU tunnel used here: per-batch
+    transfers are RPC-transport-bound in a way no real TPU host is.)
 
 The CPU baseline is the reference torch implementation measured on this host
 (override with AVEX_CPU_BASELINE to skip the torch run).
@@ -75,12 +77,21 @@ def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) 
         (rng.standard_normal((iters, batch_size, CLIP_SECONDS * SR)) * 0.1).astype(np.float32)
     )
     compiled = jax.jit(scan_forward).lower(variables, stacked).compile()
+    # FLOPs from XLA's own cost model — measured on a single un-scanned
+    # forward (XLA's analysis counts a while/scan body once, not ×trip-count)
+    # and scaled by iters.
     flops_per_run = None
     try:
-        cost = compiled.cost_analysis()
+        single = (
+            jax.jit(lambda v, w: model.apply(v, w)[0].astype(jnp.float32).mean())
+            .lower(variables, stacked[0])
+            .compile()
+        )
+        cost = single.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops_per_run = float(cost.get("flops", 0.0)) or None
+        flops = float(cost.get("flops", 0.0))
+        flops_per_run = flops * iters if flops > 0 else None
     except Exception:
         pass
 
@@ -104,8 +115,15 @@ def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) 
     return out
 
 
-def _measure_wav_e2e(batch_size: int, num_batches: int = 8, num_workers: int = 8) -> dict:
-    """WAV files on disk → multi-worker loader → device forward, per batch."""
+def _measure_wav_loader(batch_size: int, num_batches: int = 8, num_workers: int = -1) -> dict:
+    """WAV files on disk → multi-worker loader → host batches (no device).
+
+    The loader-side half of the pipeline: decode + resample + collate
+    throughput. Loader clips/s must exceed device clips/s for the device to
+    stay fed; the combined number on this host is transport-bound (the
+    remote-TPU tunnel moves ~41 MB/batch over RPC), so loader and device
+    throughputs are reported separately.
+    """
     import csv
     import tempfile
     from pathlib import Path
@@ -131,6 +149,11 @@ def _measure_wav_e2e(batch_size: int, num_batches: int = 8, num_workers: int = 8
         writer.writeheader()
         writer.writerows(rows)
 
+    if num_workers < 0:
+        # Workers only help with spare cores (the dev host here has ONE core,
+        # where any pool is pure overhead; real TPU hosts have dozens).
+        cores = os.cpu_count() or 1
+        num_workers = 0 if cores <= 2 else min(8, cores - 2)
     dataset = LocalAudioDataset(
         DatasetConfig(name="bench", kind="local", path=str(root), num_classes=4)
     )
@@ -140,31 +163,15 @@ def _measure_wav_e2e(batch_size: int, num_batches: int = 8, num_workers: int = 8
         drop_last=True, num_workers=num_workers,
     )
 
-    model = _make_model("float32")
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32)
-    )
-
-    @jax.jit
-    def forward(v, wav):
-        feats, _ = model.apply(v, wav)
-        return feats.mean()
-
-    first = next(iter(loader))
-    float(forward(variables, first["raw_wav"]))  # compile + warmup
-
+    list(loader)  # warm the page cache
     t0 = time.perf_counter()
-    count = 0
-    acc = None
-    for batch in loader:
-        acc = forward(variables, batch["raw_wav"])  # async dispatch
-        count += batch["raw_wav"].shape[0]
-    float(acc)  # final sync
+    count = sum(batch["raw_wav"].shape[0] for batch in loader)
     elapsed = time.perf_counter() - t0
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return {"clips_per_sec": count / elapsed, "clips": count, "num_workers": num_workers}
+    _ = jax, jnp  # imports kept for symmetry with the device benchmarks
+    return {"clips_per_sec": count / elapsed, "clips": count, "num_workers": num_workers, "host_cores": os.cpu_count()}
 
 
 def _measure_cpu_reference(batch_size: int = 4, iters: int = 3) -> float:
@@ -229,10 +236,13 @@ def main() -> None:
 
     if os.environ.get("AVEX_BENCH_WAV", "1") == "1":
         try:
-            wav = _measure_wav_e2e(batch_size=batch)
-            result["wav_e2e_clips_per_sec"] = round(wav["clips_per_sec"], 2)
+            wav = _measure_wav_loader(batch_size=batch)
+            result["wav_loader_clips_per_sec"] = round(wav["clips_per_sec"], 2)
+            result["loader_bound"] = wav["clips_per_sec"] < f32["clips_per_sec"]
+            result["loader_workers"] = wav["num_workers"]
+            result["host_cores"] = wav["host_cores"]
         except Exception as err:  # pragma: no cover
-            print(f"# wav e2e bench failed: {err}", file=sys.stderr)
+            print(f"# wav loader bench failed: {err}", file=sys.stderr)
 
     cpu_clips_per_sec = _measure_cpu_reference()
     result["cpu_reference_clips_per_sec"] = round(cpu_clips_per_sec, 2)

@@ -1,0 +1,88 @@
+"""Micro-benchmark: Pallas gated-bias attention vs the XLA path at BEATs shapes.
+
+Runs both on the attached TPU chip with the device-side scan-loop timing
+methodology of bench.py (one dispatch, scalar sync — immune to the remote-TPU
+tunnel's per-call RPC latency). Shapes match full-size BEATs on 5 s clips:
+B=128, H=12, T=248, D=64.
+
+Usage: python scripts/bench_attention.py [--batch 128] [--seq 248] [--iters 20]
+Prints one JSON line with both throughputs and the ratio.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch", type=int, default=128)
+    parser.add_argument("--heads", type=int, default=12)
+    parser.add_argument("--seq", type=int, default=248)
+    parser.add_argument("--dim", type=int, default=64)
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--block-b", type=int, default=8)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from avex_tpu.ops.attention import dot_product_attention
+    from avex_tpu.ops.pallas_attention import gated_bias_attention
+
+    b, h, t, d = args.batch, args.heads, args.seq, args.dim
+    rng = np.random.default_rng(0)
+
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1)
+    pos_bias = jnp.asarray(rng.standard_normal((h, t, t)).astype(np.float32) * 0.1)
+    gate = jnp.asarray(rng.uniform(1.0, 2.0, (b, h, t)).astype(np.float32))
+
+    def xla_step(q, k, v):
+        bias = gate[..., None] * pos_bias[None]
+        return dot_product_attention(q, k, v, bias=bias, scale=d**-0.5)
+
+    def pallas_step(q, k, v):
+        return gated_bias_attention(
+            q, k, v, pos_bias=pos_bias, gate=gate, scale=d**-0.5, block_b=args.block_b
+        )
+
+    def scan_loop(step):
+        def run(q, k, v):
+            def body(carry, _):
+                out = step(q + carry, k, v)
+                return out.mean().astype(jnp.float32), None
+
+            total, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.iters)
+            return total
+
+        return jax.jit(run)
+
+    results = {}
+    for name, step in (("xla", xla_step), ("pallas", pallas_step)):
+        fn = scan_loop(step)
+        float(fn(q, k, v))  # compile + warmup
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(fn(q, k, v))
+            best = min(best, time.perf_counter() - t0)
+        results[name] = args.iters * b / best  # batches of attention per sec
+
+    out = {
+        "metric": "gated_bias_attention",
+        "shape": f"B{b}xH{h}xT{t}xD{d}",
+        "block_b": args.block_b,
+        "xla_clips_per_sec": round(results["xla"], 1),
+        "pallas_clips_per_sec": round(results["pallas"], 1),
+        "pallas_vs_xla": round(results["pallas"] / results["xla"], 3),
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
