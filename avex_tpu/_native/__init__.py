@@ -77,6 +77,13 @@ def _get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int32,
         ctypes.c_int32,
     ]
+    lib.avex_decode_flac.restype = ctypes.c_int
+    lib.avex_decode_flac.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
 
@@ -144,6 +151,65 @@ def decode_wav(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
     if mono and wav.ndim == 2:
         wav = wav.mean(axis=1)
     return wav, int(sr_py)
+
+
+def decode_flac(
+    path: str, mono: bool = True, verify_md5: bool = True
+) -> Tuple[np.ndarray, int]:
+    """Decode a FLAC file → (float32 waveform in [-1, 1], sample_rate).
+
+    Uses the native decoder (avex_tpu/_native/audio_native.cpp); there is no
+    Python fallback — FLAC support requires the toolchain. Correctness is
+    self-verified against the MD5 signature of the unencoded audio stored in
+    the file's STREAMINFO block (``verify_md5=False`` skips the failure).
+    """
+    lib = _get_lib()
+    if lib is None:
+        raise RuntimeError(
+            "FLAC decode requires the native audio library (g++ unavailable?)"
+        )
+    data = Path(path).read_bytes()
+    sr = ctypes.c_int32()
+    channels = ctypes.c_int32()
+    frames = ctypes.c_int64()
+    md5_status = ctypes.c_int32()
+    rc = lib.avex_decode_flac(
+        data, len(data), None, 0,
+        ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(frames),
+        ctypes.byref(md5_status),
+    )
+    if rc != 0:
+        raise ValueError(f"FLAC metadata parse failed (rc={rc}) for {path}")
+    buf = np.empty(frames.value * channels.value, np.float32)
+    rc = lib.avex_decode_flac(
+        data, len(data),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size,
+        ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(frames),
+        ctypes.byref(md5_status),
+    )
+    if rc != 0:
+        raise ValueError(f"FLAC decode failed (rc={rc}) for {path}")
+    if verify_md5 and md5_status.value == -1:
+        raise ValueError(f"FLAC MD5 signature mismatch for {path} (corrupt decode)")
+    buf = buf[: frames.value * channels.value]
+    if mono and channels.value > 1:
+        out = np.empty(frames.value, np.float32)
+        lib.avex_mix_to_mono(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            frames.value, channels.value,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out, sr.value
+    return buf.reshape(frames.value, channels.value).squeeze(), sr.value
+
+
+def decode_audio(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Decode any supported audio file (WAV or FLAC, sniffed by magic bytes)."""
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        return decode_flac(path, mono=mono)
+    return decode_wav(path, mono=mono)
 
 
 def resample(wav: np.ndarray, sr_in: int, sr_out: int, taps: int = 16) -> np.ndarray:

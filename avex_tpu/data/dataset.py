@@ -110,12 +110,12 @@ class LocalAudioDataset(AudioDataset):
     def _load_audio(self, path: Path) -> np.ndarray:
         if path.suffix == ".npy":
             return np.load(path).astype(np.float32)
-        if path.suffix == ".wav":
-            # Native C++ decode + windowed-sinc resample to the configured
-            # rate (Python/scipy fallback inside); avex_tpu/_native.
-            from avex_tpu._native import decode_wav, resample
+        if path.suffix in (".wav", ".flac"):
+            # Native C++ decode (WAV or FLAC, sniffed by magic) + windowed-
+            # sinc resample to the configured rate; avex_tpu/_native.
+            from avex_tpu._native import decode_audio, resample
 
-            wav, sr = decode_wav(str(path), mono=True)
+            wav, sr = decode_audio(str(path), mono=True)
             if sr != self.cfg.sample_rate:
                 wav = resample(wav, sr, self.cfg.sample_rate)
             return wav

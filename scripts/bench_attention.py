@@ -11,9 +11,14 @@ Prints one JSON line with both throughputs and the ratio.
 
 import argparse
 import json
+import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# repo-root import without PYTHONPATH (which breaks the axon plugin discovery)
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:

@@ -9,9 +9,13 @@ metrics must match the committed fixture within the reference's tolerance
 regime (atol 0.12 / rtol 0.05).
 
 Audio classes:
-  - ``insect``: real field recording (Diceroprocta eugraphica cicada) from the
-    reference's sample set, read at runtime from /root/reference (not copied),
-    windowed into clips.
+  - ``insect``: real field recording (Diceroprocta eugraphica cicada, WAV)
+    from the reference's sample set, read at runtime from /root/reference
+    (not copied), windowed into clips.
+  - ``dove`` / ``inat``: the reference's two real FLAC recordings (Xeno-canto
+    Streptopelia turtur; iNaturalist 246886), decoded by the native FLAC
+    decoder (MD5-verified) — the full FLAC → window → embed path on real
+    bioacoustic audio.
   - ``chirp`` / ``noise``: deterministic naturalistic synthesis (FM bird-like
     chirps with harmonics; pink-ish noise beds) written as real 16-bit WAV
     files so the entire file-decode path is exercised. Zero-egress environment:
@@ -45,6 +49,15 @@ REFERENCE_WAV = Path(
     "/root/reference/tests/samples/insectset_459/"
     "Diceroprocta_eugraphica_IN50366825_110124_cut.wav"
 )
+REFERENCE_FLACS = {
+    "dove": Path(
+        "/root/reference/tests/samples/animalspeak2/16khz/Xeno-canto/"
+        "XC564654-200602-006_NR5N6_20h14_Sturtur.flac"
+    ),
+    "inat": Path(
+        "/root/reference/tests/samples/animalspeak2/16khz/iNaturalist/246886.flac"
+    ),
+}
 FIXTURE = Path(__file__).parent.parent / "fixtures" / "real_audio_metric_baselines.json"
 SR = 16000
 CLIP = SR  # 1-second clips
@@ -80,22 +93,30 @@ def _noise(rng: np.random.Generator, n: int) -> np.ndarray:
 def real_audio_dir(tmp_path_factory):
     from scipy.io import wavfile
 
-    from avex_tpu._native import decode_wav, resample
+    from avex_tpu._native import resample
 
     root = tmp_path_factory.mktemp("real_audio")
     rows = []
 
-    if REFERENCE_WAV.exists():
-        wav, sr = decode_wav(str(REFERENCE_WAV))
+    if not REFERENCE_WAV.exists():  # pragma: no cover - reference tree absent
+        pytest.skip("reference sample audio unavailable")
+
+    from avex_tpu._native import decode_audio
+
+    def add_windows(source: Path, label: str) -> None:
+        wav, sr = decode_audio(str(source))
         wav = resample(wav, sr, SR)
         n_windows = len(wav) // (CLIP // 2) - 1  # 50% overlap windows
         for i in range(min(n_windows, 14)):
             seg = wav[i * CLIP // 2 : i * CLIP // 2 + CLIP]
-            name = f"insect_{i}.wav"
+            name = f"{label}_{i}.wav"
             wavfile.write(root / name, SR, (seg * 32767).astype(np.int16))
-            rows.append({"path": name, "label": "insect"})
-    else:  # pragma: no cover - reference tree absent
-        pytest.skip("reference sample audio unavailable")
+            rows.append({"path": name, "label": label})
+
+    add_windows(REFERENCE_WAV, "insect")
+    for label, flac in REFERENCE_FLACS.items():
+        if flac.exists():
+            add_windows(flac, label)
 
     rng = np.random.default_rng(7)
     for i in range(14):
@@ -152,7 +173,7 @@ def _tiny_model_spec():
 def test_real_audio_linear_probe_matches_baseline(real_audio_dir, tmp_path):
     def split(name, sub):
         return DatasetConfig(
-            name=name, kind="local", path=str(real_audio_dir / sub), num_classes=3,
+            name=name, kind="local", path=str(real_audio_dir / sub), num_classes=5,
             clip_seconds=1.0, sample_rate=SR,
         )
 

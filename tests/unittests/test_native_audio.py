@@ -108,3 +108,69 @@ def test_scipy_fallback_decode_scaling(tmp_path, rng, monkeypatch):
     decoded, sr = native.decode_wav(str(path))
     assert sr == 16000
     np.testing.assert_allclose(decoded, wav, atol=2e-4)
+
+
+REFERENCE_FLACS = [
+    "/root/reference/tests/samples/animalspeak2/16khz/iNaturalist/246886.flac",
+    "/root/reference/tests/samples/animalspeak2/16khz/Xeno-canto/"
+    "XC564654-200602-006_NR5N6_20h14_Sturtur.flac",
+]
+
+
+@pytest.mark.parametrize("path", REFERENCE_FLACS)
+def test_flac_decode_md5_verified(path):
+    """The native FLAC decoder must reproduce the MD5 of the unencoded audio
+    stored in STREAMINFO — a bit-exact self-oracle (any decode bug breaks it).
+
+    Uses the reference repo's real field recordings at runtime (not copied)."""
+    import os
+
+    if not os.path.exists(path):
+        pytest.skip("reference flac samples unavailable")
+    from avex_tpu._native import decode_flac
+
+    wav, sr = decode_flac(path)  # verify_md5=True raises on mismatch
+    assert sr == 16000
+    assert wav.dtype == np.float32
+    assert np.isfinite(wav).all()
+    assert 0.001 < np.abs(wav).max() <= 1.0
+
+
+def test_decode_audio_dispatches_by_magic(tmp_path, rng):
+    from avex_tpu._native import decode_audio
+
+    wav = (rng.standard_normal(2000) * 0.1).astype(np.float32)
+    path = tmp_path / "x.wav"
+    _write_wav(path, wav)
+    decoded, sr = decode_audio(str(path))
+    np.testing.assert_allclose(decoded, wav, atol=2e-4)
+
+    import os
+
+    if os.path.exists(REFERENCE_FLACS[0]):
+        decoded, sr = decode_audio(REFERENCE_FLACS[0])
+        assert sr == 16000 and len(decoded) > 0
+
+
+def test_local_dataset_reads_flac(tmp_path):
+    import os
+    import shutil
+
+    if not os.path.exists(REFERENCE_FLACS[0]):
+        pytest.skip("reference flac samples unavailable")
+    import csv
+
+    from avex_tpu.configs import DatasetConfig
+    from avex_tpu.data.dataset import LocalAudioDataset
+
+    shutil.copy(REFERENCE_FLACS[0], tmp_path / "a.flac")
+    with open(tmp_path / "metadata.csv", "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["path", "label"])
+        w.writeheader()
+        w.writerow({"path": "a.flac", "label": "x"})
+    ds = LocalAudioDataset(
+        DatasetConfig(name="f", kind="local", path=str(tmp_path), num_classes=1)
+    )
+    item = ds[0]
+    assert item["raw_wav"].dtype == np.float32
+    assert len(item["raw_wav"]) > 16000
