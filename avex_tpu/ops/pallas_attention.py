@@ -17,12 +17,25 @@ logits tile fits VMEM comfortably and no online-softmax tiling is needed.
 Inputs are padded to TPU tile multiples by the wrapper; numerical behavior
 matches :func:`avex_tpu.ops.attention.dot_product_attention` (fp32 softmax).
 
-Status: measured on v5e at B=128/T=248/D=64 this kernel runs ~0.65x the XLA
-fused path — the (batch x head) grid granularity and the 64→128 lane padding
-of the head dim waste MXU work, and XLA's own fusion of the bias chain is
-already strong at these shapes. It is therefore OFF by default
-(``BEATsConfig.use_pallas``); kept as the starting point for a multi-head-
-per-cell variant.
+Status — measured verdict (v5e, B=128/H=12/T=248/D=64, fp32, round 2):
+
+    XLA fused path      36,100 clips/s
+    pallas block_b=8    23,205 clips/s   (0.66x)
+    pallas block_b=4    22,331 clips/s   (0.62x)
+    pallas block_b=16   VMEM overflow
+
+The v2 batch-packed grid (``block_b`` batch items per cell amortize the
+shared [T, T] bias load and grid overhead) closed none of the gap: the
+binding constraints are (a) the D=64 contraction uses half the 128-wide MXU
+regardless of packing — a cost XLA pays too but hides behind better
+cross-head pipelining — and (b) XLA fuses the gate x bias chain into the
+logits computation without materializing it in HBM at these sequence
+lengths, so the kernel has no memory-traffic win to harvest. Reproduce with
+``python scripts/bench_attention.py``. The kernel stays OFF by default
+(``BEATsConfig.use_pallas``); it remains correct (parity-tested vs the XLA
+path at 12 heads incl. masks/gates) and is the right starting point if
+sequence lengths ever grow past VMEM (online-softmax tiling would then also
+be needed).
 """
 
 from __future__ import annotations
@@ -89,7 +102,7 @@ def gated_bias_attention(
     gate: Optional[jnp.ndarray] = None,
     key_padding_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     block_b: int = 8,
 ) -> jnp.ndarray:
     """Fused ``softmax(q·kᵀ·scale + gate ⊙ bias + pad) · v``.
@@ -108,6 +121,10 @@ def gated_bias_attention(
     """
     bsz, heads, seq, dim = q.shape
     scale = scale if scale is not None else 1.0 / math.sqrt(dim)
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; anywhere else (CPU tests,
+        # use_pallas=True models under the virtual mesh) runs the interpreter.
+        interpret = jax.default_backend() != "tpu"
     while bsz % block_b:
         block_b //= 2
     block_b = max(block_b, 1)

@@ -57,3 +57,50 @@ def test_no_gate(rng):
     out = gated_bias_attention(q, k, v, pos_bias, None, interpret=True)
     expected = _reference(q, k, v, pos_bias, None, None, None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_matches_reference_12_heads_batch_packed(rng):
+    """Full BEATs head count with multi-batch grid cells (block_b > 1)."""
+    b, h, seq, d = 8, 12, 24, 64
+    q = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((h, seq, seq)).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, h, seq)).astype(np.float32))
+    pad = np.zeros((b, seq), bool)
+    pad[:, -5:] = True
+
+    out = gated_bias_attention(
+        q, k, v, pos_bias, gate, key_padding_mask=jnp.asarray(pad),
+        interpret=True, block_b=8,
+    )
+    expected = _reference(q, k, v, pos_bias, gate, jnp.asarray(pad), None)
+    # compare valid query positions: [B, H, T, D] -> [B, T, H, D][~pad]
+    got_valid = np.asarray(out).transpose(0, 2, 1, 3)[~pad]
+    exp_valid = np.asarray(expected).transpose(0, 2, 1, 3)[~pad]
+    np.testing.assert_allclose(got_valid, exp_valid, atol=2e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_beats_use_pallas_end_to_end(rng):
+    """use_pallas=True BEATs forward ≡ the XLA path at 12 heads (interpret
+    mode auto-selected off-TPU)."""
+    import avex_tpu
+    from avex_tpu.configs import ModelSpec
+
+    def build(use_pallas):
+        return avex_tpu.build_model_from_spec(
+            ModelSpec(name="beats", pretrained=False, init_config={
+                "encoder_layers": 2, "encoder_embed_dim": 96,
+                "encoder_ffn_embed_dim": 128, "encoder_attention_heads": 12,
+                "embed_dim": 32, "dropout": 0.0, "attention_dropout": 0.0,
+                "encoder_layerdrop": 0.0, "use_pallas": use_pallas}),
+            num_classes=None, return_features_only=True, seed=3,
+        )
+
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    ref_model = build(False)
+    pallas_model = build(True)
+    expected = np.asarray(ref_model(wav))
+    got = np.asarray(pallas_model(wav))
+    np.testing.assert_allclose(got, expected, atol=5e-5, rtol=1e-4)
