@@ -12,6 +12,13 @@ Counterpart of ``avex/evaluation/finetune.py``:
 Everything trains through one jitted step over the active mesh; in online
 mode the backbone forward lives inside the same compiled program as the
 probe, so frozen probing never leaves the device.
+
+Documented deviation: unfrozen online fine-tuning keeps BatchNorm running
+statistics frozen at their pretrained values (inference-mode BN). The torch
+reference's ``model.train()`` lets BN stats drift during probe fine-tuning;
+frozen BN is the standard small-data fine-tuning choice and keeps the
+backbone extraction path a pure function. (Full training with BN updates is
+the Trainer's job — training/train.py threads mutable batch_stats.)
 """
 
 from __future__ import annotations

@@ -22,15 +22,28 @@ logger = logging.getLogger(__name__)
 
 
 class CheckpointManager:
-    """Training checkpoint lifecycle with best/periodic/final variants."""
+    """Training checkpoint lifecycle with best/periodic/final variants.
+
+    ``output_dir`` may be local or a cloud URI (``gs://...`` etc.) — orbax
+    persists remote checkpoints through tensorstore; the small meta.json
+    sidecars go through the io layer.
+    """
 
     def __init__(self, output_dir: str, save_every: int = 0) -> None:
-        self.output_dir = Path(output_dir).expanduser().resolve()
-        self.output_dir.mkdir(parents=True, exist_ok=True)
+        from avex_tpu.io import is_remote
+
+        self._remote = is_remote(str(output_dir))
+        if self._remote:
+            self.output_dir = str(output_dir).rstrip("/")
+        else:
+            self.output_dir = Path(output_dir).expanduser().resolve()
+            self.output_dir.mkdir(parents=True, exist_ok=True)
         self.save_every = save_every
         self._checkpointer = ocp.StandardCheckpointer()
 
-    def _path(self, name: str) -> Path:
+    def _path(self, name: str):
+        if self._remote:
+            return f"{self.output_dir}/{name}"
         return self.output_dir / name
 
     def save(
@@ -53,19 +66,31 @@ class CheckpointManager:
         # Only process 0 mutates the shared directory; the orbax save call
         # itself stays collective (all processes participate).
         main = jax.process_index() == 0
-        if main and path.exists():
-            import shutil
+        if main and self.exists(name):
+            if self._remote:
+                from avex_tpu.io import rm
 
-            shutil.rmtree(path)
+                rm(str(path), recursive=True)
+            else:
+                import shutil
+
+                shutil.rmtree(path)
         self._checkpointer.save(path, payload)
         self._checkpointer.wait_until_finished()
         if main:
-            meta = {
-                "step": int(step),
-                "epoch": int(epoch),
-                "best_val_acc": float(best_val_acc),
-            }
-            (self.output_dir / f"{name}.meta.json").write_text(json.dumps(meta))
+            meta = json.dumps(
+                {
+                    "step": int(step),
+                    "epoch": int(epoch),
+                    "best_val_acc": float(best_val_acc),
+                }
+            )
+            if self._remote:
+                from avex_tpu.io import write_text
+
+                write_text(f"{self.output_dir}/{name}.meta.json", meta)
+            else:
+                (self.output_dir / f"{name}.meta.json").write_text(meta)
         logger.info("Saved checkpoint %s (epoch %d, step %d)", path, epoch, step)
         return str(path)
 
@@ -89,9 +114,14 @@ class CheckpointManager:
         ``template`` (matching pytree of ShapeDtypeStructs or arrays) enables
         exact dtype/sharding restoration; without it orbax infers from disk.
         """
-        path = Path(name_or_path)
-        if not path.exists():
-            path = self._path(name_or_path)
+        from avex_tpu.io import exists as io_exists, is_remote, read_text
+
+        if is_remote(str(name_or_path)):
+            path: Any = str(name_or_path)
+        else:
+            path = Path(name_or_path)
+            if not path.exists():
+                path = self._path(name_or_path)
         if template is not None:
             abstract = jax.tree_util.tree_map(
                 lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), template
@@ -99,11 +129,15 @@ class CheckpointManager:
             payload = self._checkpointer.restore(path, abstract)
         else:
             payload = self._checkpointer.restore(path)
-        meta_path = Path(str(path) + ".meta.json")
-        meta = json.loads(meta_path.read_text()) if meta_path.exists() else {}
+        meta_path = str(path) + ".meta.json"
+        meta = json.loads(read_text(meta_path)) if io_exists(meta_path) else {}
         payload.update(meta)
         return payload
 
     def exists(self, name: str) -> bool:
         """True when the named checkpoint directory exists."""
+        if self._remote:
+            from avex_tpu.io import exists as io_exists
+
+            return io_exists(str(self._path(name)))
         return self._path(name).exists()

@@ -181,3 +181,49 @@ def test_nan_guard_end_to_end_through_strategy(caplog):
     with caplog.at_level(logging.WARNING, logger="avex_tpu.training.metrics_tracker"):
         tracker.update(loss, metrics, labels=np.array([0, 1]))
     assert any("non-finite" in r.message for r in caplog.records)
+
+
+def test_checkpoint_manager_remote_paths(monkeypatch, tmp_path):
+    """CheckpointManager accepts cloud URIs: path joining stays URI-style and
+    metadata goes through the io layer (orbax/tensorstore handles the heavy
+    payload; stubbed here — no egress)."""
+    from avex_tpu.training import checkpoint as ckpt_mod
+
+    written = {}
+    removed = []
+    monkeypatch.setattr(
+        "avex_tpu.io.write_text", lambda p, t: written.setdefault(p, t)
+    )
+    monkeypatch.setattr("avex_tpu.io.rm", lambda p, recursive=False: removed.append(p))
+    monkeypatch.setattr("avex_tpu.io.exists", lambda p: p in written)
+    monkeypatch.setattr(
+        "avex_tpu.io.read_text", lambda p: written[p]
+    )
+
+    class StubCheckpointer:
+        def __init__(self):
+            self.saved = {}
+
+        def save(self, path, payload):
+            self.saved[str(path)] = payload
+
+        def wait_until_finished(self):
+            pass
+
+        def restore(self, path, template=None):
+            return dict(self.saved[str(path)])
+
+    manager = ckpt_mod.CheckpointManager("gs://bucket/run1/")
+    manager._checkpointer = StubCheckpointer()
+    assert manager._remote
+    assert manager._path("best_model") == "gs://bucket/run1/best_model"
+
+    path = manager.save_best(params={"w": np.ones(2, np.float32)}, step=3, epoch=1)
+    assert path == "gs://bucket/run1/best_model"
+    assert "gs://bucket/run1/best_model.meta.json" in written
+    meta = json.loads(written["gs://bucket/run1/best_model.meta.json"])
+    assert meta["step"] == 3 and meta["epoch"] == 1
+
+    payload = manager.load("gs://bucket/run1/best_model")
+    assert payload["step"] == 3
+    np.testing.assert_array_equal(payload["params"]["w"], np.ones(2, np.float32))
