@@ -23,7 +23,7 @@ from typing import Any, Dict, Optional, Union
 import yaml
 
 from avex_tpu.configs import ModelSpec
-from avex_tpu.io import cached_download, read_text
+from avex_tpu.io import cached_download, is_remote, read_text
 from avex_tpu.models.factory import build_model_from_spec
 from avex_tpu.models.registry import (
     get_checkpoint_path,
@@ -116,6 +116,10 @@ def load_model(
         state = process_state_dict(universal_load(resolved_ckpt))
 
     label_mapping = None
+    if label_map_path and random_weights and is_remote(label_map_path):
+        # random_weights is the explicit offline mode: don't hit the network
+        # for a label map that belongs to weights we are not loading.
+        label_map_path = None
     if label_map_path:
         try:
             label_mapping = json.loads(read_text(cached_download(label_map_path)))
