@@ -435,6 +435,12 @@ class MeshConfig(BaseModel):
     data: int = -1
     model: int = 1
     axis_names: Tuple[str, str] = ("data", "model")
+    #: "replicated" = DDP layout; "fsdp" = ZeRO-3 layout (large params +
+    #: optimizer state sharded over the data axis; XLA rewrites the gradient
+    #: psum as reduce-scatter + all-gather).
+    param_sharding: Literal["replicated", "fsdp"] = "replicated"
+    #: tensors with fewer elements stay replicated under fsdp (biases, norms)
+    fsdp_min_size: int = 2**16
 
 
 class RunConfig(BaseCLIConfig):

@@ -141,11 +141,27 @@ class Trainer:
         self._build_step(stage=self._stage)
 
         rng = jax.random.PRNGKey(config.seed)
+        if getattr(config.mesh, "param_sharding", "replicated") == "fsdp":
+            # ZeRO-3: large params shard over the data axis; initializing the
+            # optimizer under jit propagates the same sharding to its moments,
+            # so optimizer memory shards too.
+            from avex_tpu.parallel import fsdp_tree_shardings, shard_params_fsdp
+
+            min_size = config.mesh.fsdp_min_size
+            sharded_params = shard_params_fsdp(params, self.mesh, min_size=min_size)
+            opt_abstract = jax.eval_shape(self._tx.init, sharded_params)
+            placed_opt = jax.jit(
+                self._tx.init,
+                out_shardings=fsdp_tree_shardings(opt_abstract, self.mesh, min_size),
+            )(sharded_params)
+        else:
+            sharded_params = replicate(params, self.mesh)
+            placed_opt = replicate(self._tx.init(params), self.mesh)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=replicate(params, self.mesh),
+            params=sharded_params,
             extra_variables=replicate(self._extra_variables, self.mesh),
-            opt_state=replicate(self._tx.init(params), self.mesh),
+            opt_state=placed_opt,
             rng=rng,
         )
         self.best_val_acc = -np.inf

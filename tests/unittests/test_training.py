@@ -323,3 +323,42 @@ def test_multiworker_loader_propagates_errors():
                         num_workers=2)
     with pytest.raises(RuntimeError, match="corrupt item"):
         list(loader)
+
+
+def test_fsdp_param_sharding_trains(tmp_path):
+    """mesh.param_sharding="fsdp": large kernels shard over the data axis
+    (ZeRO-3), optimizer moments shard with them, and a train step runs."""
+    import jax
+
+    from avex_tpu.configs import MeshConfig
+    from avex_tpu.parallel import shard_batch
+
+    config = _run_config(tmp_path, epochs=1)
+    config = config.model_copy(update={"mesh": MeshConfig(param_sharding="fsdp", fsdp_min_size=1024)})
+    train, _v, _t, _lm, num_classes = build_dataloaders(config)
+    model = avex_tpu.build_model_from_spec(config.model_spec, num_classes=num_classes)
+    trainer = Trainer(model, config, train)
+
+    # At least one large kernel must actually be sharded across devices.
+    def is_sharded(x):
+        return hasattr(x, "sharding") and len(
+            {s.device for s in x.addressable_shards}
+        ) > 1 and not x.sharding.is_fully_replicated
+
+    sharded_leaves = [
+        x for x in jax.tree_util.tree_leaves(trainer.state.params) if is_sharded(x)
+    ]
+    assert sharded_leaves, "fsdp produced no sharded parameters"
+    # optimizer moments inherit the sharding
+    opt_sharded = [
+        x for x in jax.tree_util.tree_leaves(trainer.state.opt_state) if is_sharded(x)
+    ]
+    assert opt_sharded, "fsdp optimizer state is not sharded"
+
+    batch = shard_batch(next(iter(train)), trainer.mesh)
+    trainer.state, loss, _metrics = trainer._train_step(trainer.state, batch)
+    assert np.isfinite(float(loss))
+    # params remain sharded after the step (no silent re-replication)
+    assert any(
+        is_sharded(x) for x in jax.tree_util.tree_leaves(trainer.state.params)
+    )
