@@ -314,6 +314,11 @@ class _TransformerEncoder(nn.Module):
             # (params stacked on a leading layer axis). Semantics identical to
             # the unrolled loop; weight conversion stacks per-layer tensors
             # (convert_beats_state_dict(scan_layers=True)).
+            # Measured on v5e (B=128, 5s clips, fp32): scan compiles 1.6x
+            # faster (15.4s vs 25.2s; init 5.8s vs 17.1s) but runs ~6% slower
+            # (1374 vs 1469 clips/s) — XLA specializes each unrolled layer.
+            # Unrolled therefore stays the throughput default; flip this on
+            # for compile-latency-sensitive workflows (interactive, sweeps).
             def body(layer_module, carry, _xs):
                 x = carry
                 if cfg.layer_wise_gradient_decay_ratio != 1.0:

@@ -128,8 +128,6 @@ def _measure_wav_loader(batch_size: int, num_batches: int = 8, num_workers: int 
     import tempfile
     from pathlib import Path
 
-    import jax
-    import jax.numpy as jnp
     from scipy.io import wavfile
 
     from avex_tpu.configs import DatasetConfig
@@ -170,7 +168,6 @@ def _measure_wav_loader(batch_size: int, num_batches: int = 8, num_workers: int 
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    _ = jax, jnp  # imports kept for symmetry with the device benchmarks
     return {"clips_per_sec": count / elapsed, "clips": count, "num_workers": num_workers, "host_cores": os.cpu_count()}
 
 
