@@ -14,6 +14,15 @@ from safetensors.numpy import save_file
 from avex_tpu.utils.loaders import process_state_dict, universal_load
 
 
+def convert_file(input_path: str, output_path: str, drop_classifier: bool = False) -> int:
+    """Convert one checkpoint; returns the tensor count (import-friendly API,
+    used by scripts/upload_models_to_hf.py)."""
+    state = process_state_dict(universal_load(input_path), drop_classifier=drop_classifier)
+    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
+    save_file(state, output_path)
+    return len(state)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("input", help="torch/safetensors checkpoint path or URI")
@@ -21,10 +30,8 @@ def main() -> None:
     parser.add_argument("--drop-classifier", action="store_true")
     args = parser.parse_args()
 
-    state = process_state_dict(universal_load(args.input), drop_classifier=args.drop_classifier)
-    state = {k: np.ascontiguousarray(v) for k, v in state.items()}
-    save_file(state, args.output)
-    print(f"wrote {len(state)} tensors to {args.output}")
+    count = convert_file(args.input, args.output, drop_classifier=args.drop_classifier)
+    print(f"wrote {count} tensors to {args.output}")
 
 
 if __name__ == "__main__":
