@@ -471,6 +471,9 @@ class RunConfig(BaseCLIConfig):
     device: str = "tpu"
     seed: int = 42
     num_workers: int = 4
+    #: "native" = avex_tpu.data.DataLoader (threads/process+shm workers);
+    #: "grain" = the jax-ecosystem grain pipeline (checkpointable iterators)
+    data_pipeline: Literal["native", "grain"] = "native"
     run_name: Optional[str] = None
     wandb_project: str = "audio-experiments"
     scheduler: SchedulerConfig = Field(default_factory=SchedulerConfig)

@@ -100,7 +100,12 @@ def build_dataloaders(
             seed=config.seed,
             train=train,
         )
-        return DataLoader(
+        loader_cls = DataLoader
+        if getattr(config, "data_pipeline", "native") == "grain":
+            from avex_tpu.data.grain_loader import GrainDataLoader
+
+            loader_cls = GrainDataLoader
+        return loader_cls(
             ds,
             batch_size=config.training_params.batch_size,
             collate_fn=collater,

@@ -362,3 +362,22 @@ def test_fsdp_param_sharding_trains(tmp_path):
     assert any(
         is_sharded(x) for x in jax.tree_util.tree_leaves(trainer.state.params)
     )
+
+
+def test_grain_pipeline_matches_native(tmp_path):
+    """data_pipeline="grain" builds grain-backed loaders with working batches
+    and mid-epoch checkpointable iterators."""
+    pytest.importorskip("grain")
+    config = _run_config(tmp_path, epochs=1)
+    config = config.model_copy(update={"data_pipeline": "grain"})
+    train, _v, _t, _lm, num_classes = build_dataloaders(config)
+    from avex_tpu.data.grain_loader import GrainDataLoader
+
+    assert isinstance(train, GrainDataLoader)
+    assert len(train) == 8
+    it = iter(train)
+    next(it)
+    state = train.iterator_state()
+    expected = next(it)
+    resumed = train.restore_iterator(state)
+    np.testing.assert_array_equal(next(resumed)["raw_wav"], expected["raw_wav"])
