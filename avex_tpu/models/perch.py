@@ -26,7 +26,12 @@ from avex_tpu.models.efficientnet import EfficientNetModel, convert_efficientnet
 from avex_tpu.ops.frontend import htk_mel_banks, stft_power
 from avex_tpu.utils.tree import merge_converted_params
 
-__all__ = ["Model", "SurfPerchModel", "PERCH_NUM_CLASSES"]
+__all__ = [
+    "Model",
+    "SurfPerchModel",
+    "PERCH_NUM_CLASSES",
+    "convert_keras_efficientnet_state",
+]
 
 PERCH_NUM_CLASSES = 10932
 PERCH_SAMPLE_RATE = 32000
@@ -41,6 +46,78 @@ def perch_frontend(wav: jnp.ndarray) -> jnp.ndarray:
     )
     mel = jnp.einsum("bkf,km->bmf", power, mel_fb)
     return jnp.log(jnp.maximum(mel, 1e-6))
+
+
+def convert_keras_efficientnet_state(
+    state: Dict[str, np.ndarray], variant: str = "b1"
+) -> Dict[str, np.ndarray]:
+    """Keras-applications EfficientNet variable names → torchvision-style keys.
+
+    The TF-Hub Perch SavedModel's backbone follows Keras EfficientNet naming
+    (``stem_conv``, ``block{stage}{repeat}_expand_conv``, ``top_conv``,
+    ``predictions`` …). This remaps a raw variable dump (as produced by
+    ``scripts/convert_perch_tf.py``, TF ``:0`` suffixes and path prefixes
+    tolerated) into the torchvision-style keys that
+    ``convert_efficientnet_state_dict`` consumes — including the layout
+    transposes (Keras HWIO conv → torch OIHW, depthwise HWCM → torch C1HW,
+    dense (in,out) → torch (out,in)).
+    """
+    from avex_tpu.models.efficientnet import stage_config
+
+    # Normalize: strip ":0" and any path prefix before the layer name.
+    normalized: Dict[str, np.ndarray] = {}
+    for key, value in state.items():
+        k = key.split(":")[0]
+        k = k.split("/")[-2] + "/" + k.split("/")[-1] if "/" in k else k
+        normalized[k] = np.asarray(value)
+
+    out: Dict[str, np.ndarray] = {}
+
+    def conv(src: str, dest: str, depthwise: bool = False) -> None:
+        kernel = normalized.get(f"{src}/kernel", normalized.get(f"{src}/depthwise_kernel"))
+        if kernel is None:
+            return
+        if depthwise:  # (H, W, C, mult=1) → (C, 1, H, W)
+            out[f"{dest}.weight"] = np.transpose(kernel, (2, 3, 0, 1))
+        else:  # HWIO → OIHW
+            out[f"{dest}.weight"] = np.transpose(kernel, (3, 2, 0, 1))
+        if f"{src}/bias" in normalized:
+            out[f"{dest}.bias"] = normalized[f"{src}/bias"]
+
+    def bn(src: str, dest: str) -> None:
+        mapping = {
+            "gamma": "weight", "beta": "bias",
+            "moving_mean": "running_mean", "moving_variance": "running_var",
+        }
+        for keras_name, torch_name in mapping.items():
+            if f"{src}/{keras_name}" in normalized:
+                out[f"{dest}.{torch_name}"] = normalized[f"{src}/{keras_name}"]
+
+    conv("stem_conv", "features.0.0")
+    bn("stem_bn", "features.0.1")
+    letters = "abcdefghijklmnop"
+    for stage_i, (t, _c, n, _s, _k) in enumerate(stage_config(variant), start=1):
+        for j in range(n):
+            keras_base = f"block{stage_i}{letters[j]}"
+            torch_base = f"features.{stage_i}.{j}.block"
+            if t != 1:
+                conv(f"{keras_base}_expand_conv", f"{torch_base}.0.0")
+                bn(f"{keras_base}_expand_bn", f"{torch_base}.0.1")
+                dw, se, proj = 1, 2, 3
+            else:
+                dw, se, proj = 0, 1, 2
+            conv(f"{keras_base}_dwconv", f"{torch_base}.{dw}.0", depthwise=True)
+            bn(f"{keras_base}_bn", f"{torch_base}.{dw}.1")
+            conv(f"{keras_base}_se_reduce", f"{torch_base}.{se}.fc1")
+            conv(f"{keras_base}_se_expand", f"{torch_base}.{se}.fc2")
+            conv(f"{keras_base}_project_conv", f"{torch_base}.{proj}.0")
+            bn(f"{keras_base}_project_bn", f"{torch_base}.{proj}.1")
+    conv("top_conv", "features.8.0")
+    bn("top_bn", "features.8.1")
+    if "predictions/kernel" in normalized:
+        out["classifier.1.weight"] = normalized["predictions/kernel"].T
+        out["classifier.1.bias"] = normalized["predictions/bias"]
+    return out
 
 
 class Model(ModelBase):
@@ -115,6 +192,9 @@ class Model(ModelBase):
         return self.infer(x)["embedding"]
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        if any("/" in k or k.startswith(("stem_", "block", "top_")) for k in state):
+            # Raw TF/Keras variable dump (scripts/convert_perch_tf.py output).
+            state = convert_keras_efficientnet_state(state, "b1")
         converted = convert_efficientnet_state_dict(state, "b1", num_classes=PERCH_NUM_CLASSES)
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

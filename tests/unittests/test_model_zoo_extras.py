@@ -99,3 +99,71 @@ def test_surfperch_class_resolution():
 def test_birdnet_requires_optional_dependency():
     with pytest.raises(ImportError, match="birdnetlib"):
         avex_tpu.build_model_from_spec(ModelSpec(name="birdnet", pretrained=False))
+
+
+@pytest.mark.slow
+def test_perch_keras_conversion_roundtrip(rng):
+    """A Keras-applications-style EfficientNet-B1 variable dump (the TF-Hub
+    Perch backbone naming) maps onto every flax leaf, layouts included."""
+    from avex_tpu.models.efficientnet import stage_config
+    from avex_tpu.models.perch import Model as PerchModel
+
+    model = PerchModel(pretrained=False)
+    params = model.variables["params"]
+    stats = model.variables["batch_stats"]
+
+    state = {}
+
+    def add_conv(keras_name, node, depthwise=False, prefix="tfhub_model/"):
+        kernel = np.asarray(node["conv"]["kernel"] if "conv" in node else node["kernel"])
+        if depthwise:  # flax (H, W, 1, C) -> keras (H, W, C, 1)
+            state[f"{prefix}{keras_name}/depthwise_kernel:0"] = kernel.transpose(0, 1, 3, 2)
+        else:  # flax HWIO == keras HWIO
+            state[f"{prefix}{keras_name}/kernel:0"] = kernel
+        if "bias" in node:
+            state[f"{prefix}{keras_name}/bias:0"] = np.asarray(node["bias"])
+
+    def add_bn(keras_name, node, stat, prefix="tfhub_model/"):
+        state[f"{prefix}{keras_name}/gamma:0"] = np.asarray(node["bn"]["scale"])
+        state[f"{prefix}{keras_name}/beta:0"] = np.asarray(node["bn"]["bias"])
+        state[f"{prefix}{keras_name}/moving_mean:0"] = np.asarray(stat["bn"]["mean"])
+        state[f"{prefix}{keras_name}/moving_variance:0"] = np.asarray(stat["bn"]["var"])
+
+    add_conv("stem_conv", params["features_0"])
+    add_bn("stem_bn", params["features_0"], stats["features_0"])
+    letters = "abcdefghijklmnop"
+    for stage_i, (t, _c, n, _s, _k) in enumerate(stage_config("b1"), start=1):
+        for j in range(n):
+            node, stat = params[f"features_{stage_i}_{j}"], stats[f"features_{stage_i}_{j}"]
+            kb = f"block{stage_i}{letters[j]}"
+            if t != 1:
+                add_conv(f"{kb}_expand_conv", node["expand"])
+                add_bn(f"{kb}_expand_bn", node["expand"], stat["expand"])
+            add_conv(f"{kb}_dwconv", node["dw"], depthwise=True)
+            add_bn(f"{kb}_bn", node["dw"], stat["dw"])
+            add_conv(f"{kb}_se_reduce", node["se_fc1"])
+            add_conv(f"{kb}_se_expand", node["se_fc2"])
+            add_conv(f"{kb}_project_conv", node["project"])
+            add_bn(f"{kb}_project_bn", node["project"], stat["project"])
+    add_conv("top_conv", params["features_8"])
+    add_bn("top_bn", params["features_8"], stats["features_8"])
+    state["tfhub_model/predictions/kernel:0"] = np.asarray(params["classifier"]["kernel"])
+    state["tfhub_model/predictions/bias:0"] = np.asarray(params["classifier"]["bias"])
+
+    # Perturb every dumped value: after loading, every flax leaf must move by
+    # exactly the same delta — proving full coverage AND correct layouts (a
+    # wrong transpose would not reproduce original + delta elementwise).
+    import jax
+
+    original_leaves = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(params)]
+    original_stats = [np.asarray(x).copy() for x in jax.tree_util.tree_leaves(stats)]
+    state = {k: np.asarray(v) + 0.125 for k, v in state.items()}
+    model.load_state_dict(state)
+    for orig, new_leaf in zip(
+        original_leaves, jax.tree_util.tree_leaves(model.variables["params"])
+    ):
+        np.testing.assert_allclose(np.asarray(new_leaf), orig + 0.125, atol=1e-6)
+    for orig, new_leaf in zip(
+        original_stats, jax.tree_util.tree_leaves(model.variables["batch_stats"])
+    ):
+        np.testing.assert_allclose(np.asarray(new_leaf), orig + 0.125, atol=1e-6)
