@@ -105,12 +105,16 @@ def build_dataloaders(
             from avex_tpu.data.grain_loader import GrainDataLoader
 
             loader_cls = GrainDataLoader
+        # Multi-host: every process must contribute equal, divisible batches
+        # each step (multi-controller jax), so remainders are dropped for all
+        # splits — the DistributedSampler-with-drop_last analogue.
+        drop_last = train or num_shards > 1
         return loader_cls(
             ds,
             batch_size=config.training_params.batch_size,
             collate_fn=collater,
             shuffle=train,
-            drop_last=train,
+            drop_last=drop_last,
             seed=config.seed,
             num_workers=config.num_workers,
             shard_process=shard,

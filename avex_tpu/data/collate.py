@@ -16,9 +16,21 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from avex_tpu.configs import Augment, MixupAugment, NoiseAugment
-from avex_tpu.ops.audio import pad_or_window_np
+from avex_tpu.ops.audio import pad_or_window_np, window_start
 
 logger = logging.getLogger(__name__)
+
+
+def accepts_rng(collate_fn) -> bool:
+    """True when ``collate_fn`` takes an ``rng`` keyword — the contract for
+    deterministic per-batch collation (shared by the native and grain
+    loaders so their detection rules can never diverge)."""
+    import inspect
+
+    try:
+        return "rng" in inspect.signature(collate_fn).parameters
+    except (TypeError, ValueError):
+        return False
 
 
 class NoiseAugmenter:
@@ -161,14 +173,7 @@ class Collater:
                 wav = aug(wav, rng=rng)
             length = wav.shape[-1]
             if length > self.target_len:
-                if self.window_selection == "random":
-                    start = int(rng.integers(0, length - self.target_len + 1))
-                elif self.window_selection == "center":
-                    start = (length - self.target_len) // 2
-                elif self.window_selection == "start":
-                    start = 0
-                else:
-                    raise ValueError(f"Unknown window selection: {self.window_selection!r}")
+                start = window_start(length, self.target_len, self.window_selection, rng=rng)
                 out[i] = wav[start : start + self.target_len]
             else:
                 out[i, :length] = wav

@@ -79,8 +79,8 @@ class GrainDataLoader:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.num_shards > 1:
-            n = len(range(self.shard_process or 0, n, self.num_shards))
+        if self.num_shards > 1 and self.shard_process is not None:
+            n = len(range(self.shard_process, n, self.num_shards))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _build(self):
@@ -93,23 +93,29 @@ class GrainDataLoader:
             ds = ds.slice(slice(self.shard_process, None, self.num_shards))
 
         collate = self.collate_fn
-        import inspect
+        from avex_tpu.data.collate import accepts_rng
 
-        try:
-            accepts_rng = "rng" in inspect.signature(collate).parameters
-        except (TypeError, ValueError):
-            accepts_rng = False
-        seed, epoch = self.seed, self.epoch
-        counter = {"batch": 0}
+        collate_takes_rng = accepts_rng(collate)
+        seed, epoch, batch_size = self.seed, self.epoch, self.batch_size
 
-        def batch_fn(items):
-            if accepts_rng:
+        # The batch index derives from the post-shuffle element position, NOT
+        # a closure counter: grain's multiprocess prefetch gives each worker
+        # its own closure copy, and a restored iterator restarts closures —
+        # both would replay/duplicate augmentation seeds. Positions within a
+        # batch are contiguous, so positions[0] // batch_size is the true
+        # global batch index under any worker count or resume point.
+        ds = ds.map_with_index(lambda position, item: (position, item))
+
+        def batch_fn(indexed_items):
+            positions = [p for p, _ in indexed_items]
+            items = [item for _, item in indexed_items]
+            if collate_takes_rng:
+                batch_idx = min(positions) // batch_size
                 rng = np.random.default_rng(
-                    np.random.SeedSequence([seed, epoch, counter["batch"]])
+                    np.random.SeedSequence([seed, epoch, batch_idx])
                 )
-                counter["batch"] += 1
-                return collate(list(items), rng=rng)
-            return collate(list(items))
+                return collate(items, rng=rng)
+            return collate(items)
 
         ds = ds.batch(self.batch_size, drop_remainder=self.drop_last, batch_fn=batch_fn)
         iter_ds = ds.to_iter_dataset()

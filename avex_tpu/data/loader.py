@@ -144,14 +144,10 @@ class DataLoader:
 
     @property
     def _collate_accepts_rng(self) -> bool:
-        import inspect
-
         if not hasattr(self, "_accepts_rng_cache"):
-            try:
-                params = inspect.signature(self.collate_fn).parameters
-                self._accepts_rng_cache = "rng" in params
-            except (TypeError, ValueError):
-                self._accepts_rng_cache = False
+            from avex_tpu.data.collate import accepts_rng
+
+            self._accepts_rng_cache = accepts_rng(self.collate_fn)
         return self._accepts_rng_cache
 
     def _load_batch(self, batch_idx: int, chunk) -> Dict[str, np.ndarray]:

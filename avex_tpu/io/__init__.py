@@ -54,7 +54,7 @@ def retry(
     the final exception re-raised so upstream code aborts rather than
     silently consuming corrupt data. ``AVEX_IO_RETRIES`` overrides attempts.
     """
-    attempts = int(os.environ.get("AVEX_IO_RETRIES", attempts))
+    attempts = max(1, int(os.environ.get("AVEX_IO_RETRIES", attempts)))
     delay = base_delay
     for attempt in range(1, attempts + 1):
         try:

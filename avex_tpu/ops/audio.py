@@ -20,12 +20,31 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "window_start",
     "pad_or_window",
     "pad_or_window_np",
     "waveform_to_frame_mask",
     "sync_crop_or_pad_time",
     "frame_mask_to_patch_mask",
 ]
+
+
+def window_start(
+    length: int,
+    target_len: int,
+    window_selection: str,
+    rng: Optional[np.random.Generator] = None,
+) -> int:
+    """Crop-start offset for one window selection mode (shared by
+    :func:`pad_or_window_np` and the Collater's zero-copy fast path)."""
+    if window_selection == "random":
+        rng = rng or np.random.default_rng()
+        return int(rng.integers(0, length - target_len + 1))
+    if window_selection == "center":
+        return (length - target_len) // 2
+    if window_selection == "start":
+        return 0
+    raise ValueError(f"Unknown window selection: {window_selection!r}")
 
 
 def pad_or_window_np(
@@ -45,15 +64,7 @@ def pad_or_window_np(
     wav_len = wav.shape[-1]
     mask = np.ones(target_len, dtype=bool)
     if wav_len > target_len:
-        if window_selection == "random":
-            rng = rng or np.random.default_rng()
-            start = int(rng.integers(0, wav_len - target_len + 1))
-        elif window_selection == "center":
-            start = (wav_len - target_len) // 2
-        elif window_selection == "start":
-            start = 0
-        else:
-            raise ValueError(f"Unknown window selection: {window_selection!r}")
+        start = window_start(wav_len, target_len, window_selection, rng=rng)
         wav = wav[..., start : start + target_len]
     elif wav_len < target_len:
         pad = [(0, 0)] * (wav.ndim - 1) + [(0, target_len - wav_len)]

@@ -44,9 +44,10 @@ def window_waveform(
     starts = list(range(0, len(wav) - window_samples + 1, hop))
     rows = [wav[s : s + window_samples] for s in starts]
     tail_start = starts[-1] + hop
-    if pad_final and starts[-1] + window_samples < len(wav):
-        # Hop-aligned zero-padded tail window (as documented) — no overlap
-        # with samples already covered beyond the normal hop pattern.
+    # Hop-aligned zero-padded tail window (as documented) — only when samples
+    # remain uncovered AND the next hop position still lands inside the
+    # waveform (with hop > window the inter-hop gaps are skipped by design).
+    if pad_final and starts[-1] + window_samples < len(wav) and tail_start < len(wav):
         tail = np.zeros(window_samples, np.float32)
         tail[: len(wav) - tail_start] = wav[tail_start:]
         rows.append(tail)

@@ -112,6 +112,17 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
         # the data axis are replicated instead — correct, and the odd shape
         # triggers its own jit specialization anyway.
         if x.ndim == 0 or (x.shape[0] * (jax.process_count() if multihost else 1)) % data_size != 0:
+            if multihost and x.ndim != 0:
+                # Replication of per-process-different local data (and
+                # per-process-different step counts) is undefined in
+                # multi-controller jax — fail loudly instead of diverging.
+                # build_dataloaders drops remainder batches on multi-host.
+                raise ValueError(
+                    f"multi-host batch of local size {x.shape[0]} does not "
+                    f"assemble onto the {data_size}-way data axis; use "
+                    "drop_last=True (or pad) so every process contributes "
+                    "equal, divisible batches"
+                )
             return jax.device_put(x, replicated_sharding(mesh))
         sharding = batch_sharding(mesh, x.ndim)
         if multihost:

@@ -141,27 +141,11 @@ class Trainer:
         self._build_step(stage=self._stage)
 
         rng = jax.random.PRNGKey(config.seed)
-        if getattr(config.mesh, "param_sharding", "replicated") == "fsdp":
-            # ZeRO-3: large params shard over the data axis; initializing the
-            # optimizer under jit propagates the same sharding to its moments,
-            # so optimizer memory shards too.
-            from avex_tpu.parallel import fsdp_tree_shardings, shard_params_fsdp
-
-            min_size = config.mesh.fsdp_min_size
-            sharded_params = shard_params_fsdp(params, self.mesh, min_size=min_size)
-            opt_abstract = jax.eval_shape(self._tx.init, sharded_params)
-            placed_opt = jax.jit(
-                self._tx.init,
-                out_shardings=fsdp_tree_shardings(opt_abstract, self.mesh, min_size),
-            )(sharded_params)
-        else:
-            sharded_params = replicate(params, self.mesh)
-            placed_opt = replicate(self._tx.init(params), self.mesh)
         self.state = TrainState(
             step=jnp.zeros((), jnp.int32),
-            params=sharded_params,
+            params=self._place_params(params),
             extra_variables=replicate(self._extra_variables, self.mesh),
-            opt_state=placed_opt,
+            opt_state=self._init_opt_state(params),
             rng=rng,
         )
         self.best_val_acc = -np.inf
@@ -261,6 +245,39 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=donate)
         self._eval_step = jax.jit(eval_step)
 
+    @property
+    def _fsdp(self) -> bool:
+        return getattr(self.config.mesh, "param_sharding", "replicated") == "fsdp"
+
+    def _place_params(self, params: Any) -> Any:
+        """Put host params onto the mesh in the configured layout (replicated
+        or ZeRO-3). Used at init, resume, and the stage-2 rebuild — the
+        layout must survive all three."""
+        if self._fsdp:
+            from avex_tpu.parallel import shard_params_fsdp
+
+            return shard_params_fsdp(
+                params, self.mesh, min_size=self.config.mesh.fsdp_min_size
+            )
+        return replicate(params, self.mesh)
+
+    def _init_opt_state(self, params: Any) -> Any:
+        """Fresh optimizer state in the configured layout. Under fsdp the
+        zero-initialized moments have no data dependence for sharding
+        propagation, so placement is forced via explicit out_shardings (the
+        policy is shape-deterministic, matching the params)."""
+        if self._fsdp:
+            from avex_tpu.parallel import fsdp_tree_shardings, shard_params_fsdp
+
+            min_size = self.config.mesh.fsdp_min_size
+            sharded = shard_params_fsdp(params, self.mesh, min_size=min_size)
+            opt_abstract = jax.eval_shape(self._tx.init, sharded)
+            return jax.jit(
+                self._tx.init,
+                out_shardings=fsdp_tree_shardings(opt_abstract, self.mesh, min_size),
+            )(sharded)
+        return replicate(self._tx.init(params), self.mesh)
+
     def _resume(self, path: str) -> None:
         template = {
             "params": jax.device_get(self.state.params),
@@ -283,9 +300,23 @@ class Trainer:
                 "keeping init-time values",
                 path,
             )
+        # Re-place in the configured layout (fsdp resume must stay sharded —
+        # replicating here would use data_axis x the intended memory).
+        restored_opt = payload["opt_state"]
+        if self._fsdp:
+            from avex_tpu.parallel import fsdp_tree_shardings
+
+            min_size = self.config.mesh.fsdp_min_size
+            restored_opt = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, s),
+                restored_opt,
+                fsdp_tree_shardings(restored_opt, self.mesh, min_size),
+            )
+        else:
+            restored_opt = replicate(restored_opt, self.mesh)
         self.state = self.state.replace(
-            params=replicate(payload["params"], self.mesh),
-            opt_state=replicate(payload["opt_state"], self.mesh),
+            params=self._place_params(payload["params"]),
+            opt_state=restored_opt,
             step=jnp.asarray(payload.get("step", 0), jnp.int32),
         )
         if "extra_variables" in payload:
@@ -384,7 +415,7 @@ class Trainer:
                 self._build_step(stage=2)
                 params = jax.device_get(self.state.params)
                 self.state = self.state.replace(
-                    opt_state=replicate(self._tx.init(params), self.mesh)
+                    opt_state=self._init_opt_state(params)
                 )
 
             if hasattr(self.train_loader, "set_epoch"):

@@ -29,10 +29,14 @@ FIXTURE = REPO / "tests" / "fixtures" / "real_audio_metric_baselines.json"
 def _run_pipeline() -> dict:
     import jax
 
-    if jax.default_backend() not in ("cpu",):
-        # CPU pinning must happen before first backend use; re-running under
-        # the TPU tunnel would change numerics vs the committed fixture.
-        pass
+    if jax.default_backend() != "cpu":
+        # The committed fixture records CPU numerics; a TPU-backed snapshot
+        # would silently re-pin different values (platform pinning can fail
+        # when a plugin/backend initialized before this script ran).
+        raise SystemExit(
+            f"refusing to record on backend {jax.default_backend()!r}; "
+            "the baseline fixture is CPU-pinned"
+        )
     from integration import test_real_audio_baseline as T  # noqa: E402
 
     from avex_tpu.configs import (

@@ -227,3 +227,11 @@ def test_checkpoint_manager_remote_paths(monkeypatch, tmp_path):
     payload = manager.load("gs://bucket/run1/best_model")
     assert payload["step"] == 3
     np.testing.assert_array_equal(payload["params"]["w"], np.ones(2, np.float32))
+
+
+def test_retry_env_zero_still_runs_once(monkeypatch):
+    """AVEX_IO_RETRIES=0 means 'no retries', not 'never run'."""
+    monkeypatch.setenv("AVEX_IO_RETRIES", "0")
+    assert aio.retry(lambda: "ran") == "ran"
+    with pytest.raises(OSError):
+        aio.retry(lambda: (_ for _ in ()).throw(OSError("x")))

@@ -65,3 +65,12 @@ def test_windowed_apply_with_model(rng):
         long_wav, window_samples=16000, batch_size=2,
     )
     assert emb.shape == (3, 32)
+
+
+def test_gapped_sampling_hop_larger_than_window():
+    """hop > window (gapped sampling): no crash, no tail window past the end
+    (round-2 review finding: the hop-aligned tail could land beyond len)."""
+    wav = np.arange(90000, dtype=np.float32)
+    windows, offsets = window_waveform(wav, 16000, hop_samples=32000)
+    np.testing.assert_array_equal(offsets, [0, 32000, 64000])
+    assert windows.shape == (3, 16000)
