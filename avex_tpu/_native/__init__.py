@@ -212,6 +212,82 @@ def decode_audio(path: str, mono: bool = True) -> Tuple[np.ndarray, int]:
     return decode_wav(path, mono=mono)
 
 
+def decode_audio_bytes(data: bytes, mono: bool = True) -> Tuple[np.ndarray, int]:
+    """Decode in-memory WAV/FLAC bytes (e.g. an HF datasets audio cell)
+    without touching the filesystem — the native parsers already take
+    buffers; only the convenience wrappers read files."""
+    import tempfile
+
+    if data[:4] == b"fLaC":
+        # decode_flac reads a path; route through the buffer-level ABI.
+        lib = _get_lib()
+        if lib is None:
+            raise RuntimeError("FLAC decode requires the native audio library")
+        sr = ctypes.c_int32()
+        channels = ctypes.c_int32()
+        frames = ctypes.c_int64()
+        md5_status = ctypes.c_int32()
+        rc = lib.avex_decode_flac(
+            data, len(data), None, 0,
+            ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(frames),
+            ctypes.byref(md5_status),
+        )
+        if rc != 0:
+            raise ValueError(f"FLAC metadata parse failed (rc={rc})")
+        buf = np.empty(frames.value * channels.value, np.float32)
+        rc = lib.avex_decode_flac(
+            data, len(data),
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size,
+            ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(frames),
+            ctypes.byref(md5_status),
+        )
+        if rc != 0 or md5_status.value == -1:
+            raise ValueError(f"FLAC decode failed (rc={rc}, md5={md5_status.value})")
+        buf = buf[: frames.value * channels.value]
+        if mono and channels.value > 1:
+            out = np.empty(frames.value, np.float32)
+            lib.avex_mix_to_mono(
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                frames.value, channels.value,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            )
+            return out, sr.value
+        return buf.reshape(frames.value, channels.value).squeeze(), sr.value
+
+    lib = _get_lib()
+    if lib is not None and data[:4] == b"RIFF":
+        sr = ctypes.c_int32()
+        channels = ctypes.c_int32()
+        frames = ctypes.c_int64()
+        rc = lib.avex_decode_wav(
+            data, len(data), None, 0,
+            ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(frames),
+        )
+        if rc == 0:
+            buf = np.empty(frames.value * channels.value, np.float32)
+            rc = lib.avex_decode_wav(
+                data, len(data),
+                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), buf.size,
+                ctypes.byref(sr), ctypes.byref(channels), ctypes.byref(frames),
+            )
+        if rc == 0:
+            if mono and channels.value > 1:
+                out = np.empty(frames.value, np.float32)
+                lib.avex_mix_to_mono(
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    frames.value, channels.value,
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                )
+                return out, sr.value
+            return buf.reshape(frames.value, channels.value).squeeze(), sr.value
+
+    # Fallback (scipy WAV reader or unusual container): go through a temp file.
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=True) as tmp:
+        tmp.write(data)
+        tmp.flush()
+        return decode_audio(tmp.name, mono=mono)
+
+
 def resample(wav: np.ndarray, sr_in: int, sr_out: int, taps: int = 16) -> np.ndarray:
     """Resample mono float32 audio (windowed-sinc native / scipy fallback)."""
     wav = np.ascontiguousarray(wav, np.float32)

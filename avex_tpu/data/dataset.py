@@ -134,7 +134,13 @@ class LocalAudioDataset(AudioDataset):
 
 
 class HFAudioDataset(AudioDataset):
-    """HuggingFace ``datasets`` adapter (audio + label columns)."""
+    """HuggingFace ``datasets`` adapter (audio + label columns).
+
+    Audio decoding does NOT require HF's soundfile/torchcodec extras: when
+    the hub cell arrives undecoded (``{"bytes": ..., "path": ...}``) the
+    native WAV/FLAC decoders handle it, with resampling to the configured
+    rate. Decoded cells (``{"array", "sampling_rate"}``) pass through.
+    """
 
     def __init__(self, cfg: DatasetConfig) -> None:
         import datasets as hfds
@@ -144,6 +150,15 @@ class HFAudioDataset(AudioDataset):
             self.ds = hfds.load_dataset(cfg.path, cfg.subset, split=cfg.split or "train")
         else:
             self.ds = hfds.load_dataset(cfg.path, split=cfg.split or "train")
+        try:
+            import soundfile  # noqa: F401
+        except ImportError:
+            # No soundfile: ask HF for raw bytes and decode natively.
+            audio_feature = self.ds.features.get(cfg.audio_column)
+            if audio_feature is not None and hasattr(audio_feature, "decode"):
+                self.ds = self.ds.cast_column(
+                    cfg.audio_column, type(audio_feature)(decode=False)
+                )
         feature = self.ds.features.get(cfg.label_column)
         if hasattr(feature, "names"):
             labels = list(feature.names)
@@ -155,10 +170,38 @@ class HFAudioDataset(AudioDataset):
     def __len__(self) -> int:
         return len(self.ds)
 
+    def _decode_cell(self, audio: Any) -> tuple:
+        """(wav float32, sample_rate or None) from any HF audio cell shape."""
+        from avex_tpu._native import decode_audio, decode_audio_bytes
+
+        if isinstance(audio, dict):
+            if audio.get("array") is not None:
+                return (
+                    np.asarray(audio["array"], dtype=np.float32),
+                    audio.get("sampling_rate"),
+                )
+            if audio.get("bytes"):
+                return decode_audio_bytes(audio["bytes"])
+            if audio.get("path"):
+                return decode_audio(str(audio["path"]))
+            raise ValueError(f"Undecodable HF audio cell: keys={sorted(audio)}")
+        if isinstance(audio, (str, bytes)):
+            return (
+                decode_audio_bytes(audio)
+                if isinstance(audio, bytes)
+                else decode_audio(audio)
+            )
+        return np.asarray(audio, dtype=np.float32), None
+
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         row = self.ds[int(idx)]
-        audio = row[self.cfg.audio_column]
-        wav = np.asarray(audio["array"], dtype=np.float32)
+        wav, sr = self._decode_cell(row[self.cfg.audio_column])
+        if wav.ndim == 2:
+            wav = wav.mean(axis=-1 if wav.shape[-1] <= 2 else 0)
+        if sr and sr != self.cfg.sample_rate:
+            from avex_tpu._native import resample
+
+            wav = resample(wav, int(sr), self.cfg.sample_rate)
         label = row[self.cfg.label_column]
         if not isinstance(label, int):
             label = self._label_to_idx[str(label)]

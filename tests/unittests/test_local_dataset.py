@@ -74,3 +74,49 @@ def test_missing_metadata_raises(tmp_path):
         dataset_from_config(
             DatasetConfig(name="x", kind="local", path=str(tmp_path / "empty"))
         )
+
+
+def test_hf_dataset_native_decode(tmp_path, rng, monkeypatch):
+    """HF audio cells decode without soundfile: undecoded bytes (WAV at the
+    target rate, WAV needing resample, FLAC) go through the native decoders."""
+    import io
+
+    import datasets as hfds
+    from scipy.io import wavfile
+
+    from avex_tpu.configs import DatasetConfig
+    from avex_tpu.data.dataset import HFAudioDataset
+
+    def wav_bytes(n, sr):
+        buf = io.BytesIO()
+        wavfile.write(buf, sr, (rng.standard_normal(n) * 0.1 * 32767).astype(np.int16))
+        return buf.getvalue()
+
+    rows = {
+        "audio": [
+            {"bytes": wav_bytes(8000, 16000), "path": None},
+            {"bytes": wav_bytes(12000, 32000), "path": None},
+        ],
+        "label": ["dog", "bird"],
+    }
+    flac = "/root/reference/tests/samples/animalspeak2/16khz/iNaturalist/246886.flac"
+    import os
+
+    if os.path.exists(flac):
+        rows["audio"].append({"bytes": open(flac, "rb").read(), "path": None})
+        rows["label"].append("insect")
+
+    ds = hfds.Dataset.from_dict(rows).cast_column("audio", hfds.Audio(decode=False))
+    ds.save_to_disk(str(tmp_path / "hfds"))
+    monkeypatch.setattr(
+        hfds, "load_dataset", lambda *a, **k: hfds.load_from_disk(str(tmp_path / "hfds"))
+    )
+
+    dataset = HFAudioDataset(
+        DatasetConfig(name="hf", kind="hf", path="fake", sample_rate=16000, label_column="label")
+    )
+    assert dataset[0]["raw_wav"].shape == (8000,)
+    assert dataset[1]["raw_wav"].shape == (6000,)  # 32k -> 16k resample
+    if len(dataset) == 3:
+        assert len(dataset[2]["raw_wav"]) > 16000  # FLAC field recording
+    assert all(dataset[i]["raw_wav"].dtype == np.float32 for i in range(len(dataset)))
