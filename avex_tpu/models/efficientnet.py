@@ -77,15 +77,32 @@ class _ConvBN(nn.Module):
     groups: int = 1
     act: bool = True
     dtype: Any = jnp.float32
+    bn_eps: float = 1e-5
+    tf_same_padding: bool = False
+
+    def _padding(self, x) -> List[Tuple[int, int]]:
+        if not self.tf_same_padding:
+            pad = (self.kernel - 1) // 2
+            return [(pad, pad), (pad, pad)]
+
+        # TF/Keras 'SAME' semantics (keras `imagenet_utils.correct_pad`):
+        # total pad = max(k - (size mod s or s), 0), extra row/col at the
+        # END — asymmetric when a stride-2 conv meets an even input. Shapes
+        # are static under jit, so this is resolved at trace time.
+        def same(size: int) -> Tuple[int, int]:
+            rem = size % self.stride
+            total = max(self.kernel - (rem if rem else self.stride), 0)
+            return total // 2, total - total // 2
+
+        return [same(int(x.shape[1])), same(int(x.shape[2]))]
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pad = (self.kernel - 1) // 2
         conv_out = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
-            padding=[(pad, pad), (pad, pad)],
+            padding=self._padding(x),
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
@@ -94,7 +111,7 @@ class _ConvBN(nn.Module):
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
-            epsilon=1e-5,
+            epsilon=self.bn_eps,
             dtype=self.dtype,
             name="bn",
         )(conv_out)
@@ -113,15 +130,18 @@ class _MBConv(nn.Module):
     kernel: int
     stochastic_depth_prob: float = 0.0
     dtype: Any = jnp.float32
+    bn_eps: float = 1e-5
+    tf_same_padding: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, deterministic: bool = True):
         residual = x
         expanded = self.in_channels * self.expand_ratio
+        common = dict(dtype=self.dtype, bn_eps=self.bn_eps, tf_same_padding=self.tf_same_padding)
         if self.expand_ratio != 1:
-            x, _ = _ConvBN(expanded, 1, dtype=self.dtype, name="expand")(x, train)
+            x, _ = _ConvBN(expanded, 1, name="expand", **common)(x, train)
         x, _ = _ConvBN(
-            expanded, self.kernel, self.stride, groups=expanded, dtype=self.dtype, name="dw"
+            expanded, self.kernel, self.stride, groups=expanded, name="dw", **common
         )(x, train)
 
         # Squeeze-excitation: squeeze width from the *block input* channels.
@@ -132,9 +152,9 @@ class _MBConv(nn.Module):
         scale = nn.Conv(expanded, (1, 1), dtype=self.dtype, name="se_fc2")(scale)
         x = x * jax.nn.sigmoid(scale)
 
-        x, proj_conv_out = _ConvBN(
-            self.out_channels, 1, act=False, dtype=self.dtype, name="project"
-        )(x, train)
+        x, proj_conv_out = _ConvBN(self.out_channels, 1, act=False, name="project", **common)(
+            x, train
+        )
 
         if self.stride == 1 and self.in_channels == self.out_channels:
             if not deterministic and self.stochastic_depth_prob > 0:
@@ -157,6 +177,12 @@ class EfficientNetModel(nn.Module):
     variant: str = "b0"
     num_classes: Optional[int] = None
     dtype: Any = jnp.float32
+    #: BatchNorm epsilon: 1e-5 matches torchvision checkpoints; TF/Keras
+    #: checkpoints (Perch) were trained with 1e-3.
+    bn_eps: float = 1e-5
+    #: TF 'SAME' conv padding (asymmetric at stride 2 on even inputs) for
+    #: TF-provenance weights; False = torchvision's symmetric (k-1)//2.
+    tf_same_padding: bool = False
 
     @nn.compact
     def __call__(
@@ -178,8 +204,9 @@ class EfficientNetModel(nn.Module):
             intermediates[name] = jnp.transpose(conv_out, (0, 3, 1, 2))  # NHWC->NCHW
 
         stages = stage_config(self.variant)
+        common = dict(dtype=self.dtype, bn_eps=self.bn_eps, tf_same_padding=self.tf_same_padding)
         stem_width = _round_channels(32, VARIANTS[self.variant][0])
-        x, conv_out = _ConvBN(stem_width, 3, 2, dtype=self.dtype, name="features_0")(x, train)
+        x, conv_out = _ConvBN(stem_width, 3, 2, name="features_0", **common)(x, train)
         record("model.features.0.0", conv_out)
 
         total_blocks = sum(n for (_t, _c, n, _s, _k) in stages)
@@ -195,8 +222,8 @@ class EfficientNetModel(nn.Module):
                     stride=s if j == 0 else 1,
                     kernel=k,
                     stochastic_depth_prob=sd_prob,
-                    dtype=self.dtype,
                     name=f"features_{stage_i}_{j}",
+                    **common,
                 )
                 x, proj_out = block(x, train, deterministic)
                 # torchvision path of the projection conv: block.3.0 when the
@@ -208,7 +235,7 @@ class EfficientNetModel(nn.Module):
                 block_idx += 1
 
         head_width = _round_channels(1280, VARIANTS[self.variant][0])
-        x, conv_out = _ConvBN(head_width, 1, dtype=self.dtype, name="features_8")(x, train)
+        x, conv_out = _ConvBN(head_width, 1, name="features_8", **common)(x, train)
         record("model.features.8.0", conv_out)
 
         features_nchw = jnp.transpose(x, (0, 3, 1, 2))

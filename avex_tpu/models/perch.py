@@ -7,11 +7,14 @@ reproduced exactly — 32 kHz input, 5 s center-crop/pad (perch.py:153-185),
 1280-d embeddings plus 10932-class logits, no-op embedding hooks
 (perch.py:117-152) — on top of our Flax EfficientNet-B1.
 
-Weights: the published checkpoints live in TF-Hub SavedModel format. This
-build has no TensorFlow, so conversion happens offline (TF → numpy state
-dict via ``scripts/convert_perch_tf.py``) and loads through
-``load_state_dict``; without a converted checkpoint the model runs with
-random weights (useful for interface/throughput work only).
+Weights: the published checkpoints live in TF-Hub SavedModel format. The
+shipped package does not depend on TensorFlow: conversion happens offline
+(TF → numpy state dict via ``scripts/convert_perch_tf.py``) and loads
+through ``load_state_dict``. The Keras→Flax mapping is validated
+elementwise against a real TF EfficientNet-B1 in
+``tests/unittests/test_perch_tf_oracle.py`` (runs wherever TF is
+installed); without a converted checkpoint the model runs with random
+weights (useful for interface/throughput work only).
 """
 
 from __future__ import annotations
@@ -140,7 +143,18 @@ class Model(ModelBase):
         self.num_classes = PERCH_NUM_CLASSES
         self.window_samples = int(PERCH_WINDOW_SECONDS * PERCH_SAMPLE_RATE)
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        self.module = EfficientNetModel(variant="b1", num_classes=PERCH_NUM_CLASSES, dtype=dtype)
+        # TF-provenance semantics: the published checkpoints were trained with
+        # TF 'SAME' conv padding and BatchNorm eps 1e-3, which differ from the
+        # torchvision defaults (asymmetric stride-2 padding on even inputs;
+        # verified elementwise vs Keras EfficientNet-B1 in
+        # tests/unittests/test_perch_tf_oracle.py).
+        self.module = EfficientNetModel(
+            variant="b1",
+            num_classes=PERCH_NUM_CLASSES,
+            dtype=dtype,
+            bn_eps=1e-3,
+            tf_same_padding=True,
+        )
         dummy = jnp.zeros((1, 3, 160, 64), jnp.float32)
         self.variables = self._init_variables(dummy, seed=seed)
         self._return_features_only = return_features_only
