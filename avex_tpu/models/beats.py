@@ -126,6 +126,11 @@ class _GatedRelPosAttention(nn.Module):
     gru_rel_pos: bool = True
     dropout: float = 0.0
     use_pallas: bool = False
+    #: run the [B, H, T, T] logits/softmax chain in the compute dtype instead
+    #: of fp32 — halves the dominant HBM stream of the whole model (measured
+    #: +33%% end-to-end on v5e at B=128/T=248). None = auto: on for bfloat16
+    #: compute, off (fp32 parity softmax) otherwise.
+    fast_attention: Optional[bool] = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -177,7 +182,13 @@ class _GatedRelPosAttention(nn.Module):
             if key_padding_mask is not None:
                 pad = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, 0.0)
                 bias = pad if bias is None else bias + pad
-            out = dot_product_attention(q, k, v, bias=bias, scale=head_dim**-0.5)
+            fast = self.fast_attention
+            if fast is None:  # auto: reduced-precision softmax iff bf16 compute
+                fast = self.dtype == jnp.bfloat16
+            logits_dtype = self.dtype if fast else jnp.float32
+            out = dot_product_attention(
+                q, k, v, bias=bias, scale=head_dim**-0.5, logits_dtype=logits_dtype
+            )
         out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, self.embed_dim)
         return dense("out_proj")(out)
 
@@ -210,6 +221,7 @@ class _EncoderLayer(nn.Module):
             gru_rel_pos=cfg.gru_rel_pos,
             dropout=cfg.attention_dropout,
             use_pallas=bool(getattr(cfg, "use_pallas", False)),
+            fast_attention=getattr(cfg, "fast_attention", None),
             dtype=self.dtype,
             name="self_attn",
         )
