@@ -65,7 +65,12 @@ class _Block(nn.Module):
         qkv = nn.Dense(3 * dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(bsz, seq, 3, self.heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        attn = dot_product_attention(q, k, v, scale=head_dim**-0.5)
+        # bf16 compute runs the softmax chain in bf16 too (the [B,H,T,T]
+        # stream dominates HBM traffic; fp32 compute keeps the parity softmax).
+        attn = dot_product_attention(
+            q, k, v, scale=head_dim**-0.5,
+            logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
+        )
         attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
         x = x + nn.Dense(dim, dtype=self.dtype, name="proj")(attn)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)

@@ -114,7 +114,11 @@ class _EncoderLayer(nn.Module):
             bias = jnp.where(padding_mask[:, None, None, :], -jnp.inf, 0.0)
         from avex_tpu.ops.attention import dot_product_attention
 
-        attn = dot_product_attention(q, k, v, bias=bias, scale=head_dim**-0.5)
+        # bf16 compute runs the softmax chain in bf16 too (see ops.attention).
+        attn = dot_product_attention(
+            q, k, v, bias=bias, scale=head_dim**-0.5,
+            logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
+        )
         attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
         attn = nn.Dense(dim, dtype=self.dtype, name="out_proj")(attn)
         attn = nn.Dropout(cfg.encoder_dropout)(attn, deterministic=deterministic)

@@ -79,7 +79,11 @@ class RobertaEncoder(nn.Module):
             q = q.reshape(bsz, seq, self.heads, head_dim).transpose(0, 2, 1, 3)
             k = k.reshape(bsz, seq, self.heads, head_dim).transpose(0, 2, 1, 3)
             v = v.reshape(bsz, seq, self.heads, head_dim).transpose(0, 2, 1, 3)
-            attn = dot_product_attention(q, k, v, bias=bias, scale=head_dim**-0.5)
+            # bf16 compute runs the softmax chain in bf16 too (see ops.attention).
+            attn = dot_product_attention(
+                q, k, v, bias=bias, scale=head_dim**-0.5,
+                logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
+            )
             attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, self.dim)
             attn = nn.Dense(self.dim, dtype=self.dtype, name=f"{name}_attn_out")(attn)
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"{name}_attn_ln")(
@@ -313,6 +317,12 @@ class Model(ModelBase):
         x = AudioProcessor(self.audio_config)(jnp.asarray(x, jnp.float32)) if self.audio_config else jnp.asarray(x)
         if x.ndim == 3:
             x = jnp.repeat(x[:, None, :, :], 3, axis=1)
+        if x.ndim == 2:
+            raise ValueError(
+                "CLIP's audio tower consumes spectrograms: pass a spectrogram "
+                "audio_config (the official 'clip' spec sets one) or feed "
+                "pre-computed (B, C, F, T) features, not raw waveforms."
+            )
         return x
 
     def forward(self, audio, text=None, padding_mask=None):
