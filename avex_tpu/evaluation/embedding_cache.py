@@ -66,6 +66,7 @@ def extract_embeddings_to_cache(
     path: Union[str, Path],
     aggregation: str = "none",
     layers: Optional[Sequence[Union[str, int]]] = None,
+    mesh=None,
 ) -> Path:
     """Run the backbone over a loader and stream embeddings into HDF5.
 
@@ -73,12 +74,23 @@ def extract_embeddings_to_cache(
     N-1 overlaps the TPU computing batch N (the reference's streaming path,
     embedding_utils.py:164-349, without its manual chunk-size heuristics —
     h5py's resizable datasets handle growth).
+
+    ``mesh``: shard each batch along the mesh's data axis so extraction runs
+    data-parallel across every chip (the BASELINE "batched on v5e-8"
+    workload); variables are replicated once. Per-sample results are
+    identical to single-device extraction — pooling never crosses the batch
+    axis.
     """
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     if layers is not None:
         model.register_hooks_for_layers(list(layers))
     layer_names = list(model._hook_layers)
+
+    if mesh is not None:
+        from avex_tpu.parallel import replicate
+
+        model.variables = replicate(model.variables, mesh)
 
     tmp = path.with_suffix(".h5.tmp")
     num_samples = 0
@@ -119,9 +131,18 @@ def extract_embeddings_to_cache(
             num_samples += n
 
         for batch in loader:
+            wav, mask = batch["raw_wav"], batch.get("padding_mask")
+            if mesh is not None:
+                from avex_tpu.parallel import shard_batch
+
+                device = {"raw_wav": wav}
+                if mask is not None:
+                    device["padding_mask"] = mask
+                device = shard_batch(device, mesh)
+                wav, mask = device["raw_wav"], device.get("padding_mask")
             embs = model.extract_embeddings(
-                batch["raw_wav"],
-                padding_mask=batch.get("padding_mask"),
+                wav,
+                padding_mask=mask,
                 aggregation=aggregation,
             )
             if not isinstance(embs, list):

@@ -56,6 +56,7 @@ class EmbeddingDataSource:
         aggregation: str = "none",
         memory_limit_bytes: int = 8 << 30,
         overwrite: bool = False,
+        mesh=None,
     ) -> None:
         self.model = model
         self.cache_path = Path(cache_path)
@@ -63,6 +64,7 @@ class EmbeddingDataSource:
         self.aggregation = aggregation
         self.memory_limit_bytes = memory_limit_bytes
         self.overwrite = overwrite
+        self.mesh = mesh
 
     def get_dataset(self, loader) -> Any:
         """Return an embedding dataset for the split fed by ``loader``.
@@ -81,6 +83,7 @@ class EmbeddingDataSource:
                 self.cache_path,
                 aggregation=self.aggregation,
                 layers=self.layers,
+                mesh=self.mesh,
             )
         else:
             logger.info("Reusing embedding cache %s", self.cache_path)

@@ -64,6 +64,16 @@ def _raw_loader(dataset, cfg: EvaluateConfig, target_len: int, num_classes: int,
     )
 
 
+def _extraction_mesh():
+    """Data-parallel mesh for embedding extraction: all chips on the data
+    axis (the BASELINE "batched on v5e-8" workload); None on one device."""
+    import jax
+
+    from avex_tpu.parallel import make_mesh
+
+    return make_mesh() if jax.device_count() > 1 else None
+
+
 def _get_or_compute_embeddings(
     model,
     loader,
@@ -71,10 +81,13 @@ def _get_or_compute_embeddings(
     aggregation: str,
     layers,
     overwrite: bool,
+    mesh=None,
 ) -> HDF5EmbeddingDataset:
     layer_names = model.register_hooks_for_layers(list(layers))
     if overwrite or not embedding_cache_matches(path, aggregation, layer_names):
-        extract_embeddings_to_cache(model, loader, path, aggregation=aggregation, layers=layers)
+        extract_embeddings_to_cache(
+            model, loader, path, aggregation=aggregation, layers=layers, mesh=mesh
+        )
     else:
         logger.info("Reusing embedding cache %s", path)
     return HDF5EmbeddingDataset(path)
@@ -168,6 +181,7 @@ def run_experiment(
                     probe_cfg.aggregation,
                     probe_cfg.target_layers,
                     config.offline_embeddings.overwrite,
+                    mesh=_extraction_mesh(),
                 )
 
             def emb_loader(ds, train: bool):
@@ -222,7 +236,8 @@ def run_experiment(
                 path, "mean", model._hook_layers
             ):
                 extract_embeddings_to_cache(
-                    model, det_loader, path, aggregation="mean", layers=pooled_layers
+                    model, det_loader, path, aggregation="mean", layers=pooled_layers,
+                    mesh=_extraction_mesh(),
                 )
             embs, labels, _meta = load_cached_embeddings(path)
             return embs[0], labels

@@ -106,3 +106,50 @@ def test_clustering_separable():
     assert metrics["ari"] > 0.95
     assert metrics["nmi"] > 0.95
     assert metrics["n_clusters"] == 3
+
+
+def test_mesh_sharded_extraction_matches_single_device(tmp_path):
+    """Data-parallel extraction over the 8-device CPU mesh writes the same
+    cache as single-device extraction, including a remainder batch that
+    cannot shard evenly (it replicates instead)."""
+    import jax
+
+    from avex_tpu.models.beats import BEATsConfig, BEATsModel
+    from avex_tpu.models.beats import Model as BEATsWrapper
+    from avex_tpu.parallel import make_mesh
+
+    model = BEATsWrapper(
+        pretrained=False,
+        init_config=dict(
+            encoder_layers=1,
+            encoder_embed_dim=64,
+            encoder_ffn_embed_dim=128,
+            encoder_attention_heads=4,
+            embed_dim=32,
+        ),
+        return_features_only=True,
+    )
+    model.register_hooks_for_layers(["last_layer"])
+
+    rng = np.random.default_rng(5)
+    batches = [
+        {"raw_wav": rng.standard_normal((8, 16000)).astype(np.float32) * 0.1,
+         "label": np.arange(8)},
+        {"raw_wav": rng.standard_normal((3, 16000)).astype(np.float32) * 0.1,
+         "label": np.arange(3)},  # remainder: not divisible by 8 devices
+    ]
+
+    single = tmp_path / "single.h5"
+    extract_embeddings_to_cache(model, iter(batches), single, aggregation="mean")
+
+    assert jax.device_count() == 8  # conftest pins the virtual CPU mesh
+    sharded = tmp_path / "sharded.h5"
+    extract_embeddings_to_cache(
+        model, iter(batches), sharded, aggregation="mean", mesh=make_mesh()
+    )
+
+    embs_a, labels_a, _ = load_cached_embeddings(single)
+    embs_b, labels_b, _ = load_cached_embeddings(sharded)
+    np.testing.assert_array_equal(labels_a, labels_b)
+    assert embs_a[0].shape == embs_b[0].shape == (11, 64)
+    np.testing.assert_allclose(embs_a[0], embs_b[0], rtol=1e-5, atol=1e-6)
