@@ -84,7 +84,9 @@ def get_optimizer(
             kwargs["mask"] = _weight_decay_mask(params)
         tx = optax.adamw(learning_rate, b1=b1, b2=b2, weight_decay=weight_decay, **kwargs)
     elif name == "adamw8bit":
-        # TPU analogue of PagedAdamW8bit: AdamW with int8-quantized moments.
+        # TPU analogue of PagedAdamW8bit (a CUDA paged-memory optimization):
+        # AdamW with the first moment stored in bfloat16 — the memory saving
+        # without bitsandbytes' int8 block quantization.
         tx = optax.adamw(
             learning_rate,
             b1=b1,

@@ -203,6 +203,15 @@ def _measure_cpu_reference(batch_size: int = 4, iters: int = 3) -> float:
 
 def main() -> None:
     batch = int(os.environ.get("AVEX_BENCH_BATCH", "128"))
+    # Wall-clock budget: optional phases (bf16, sweep, wav loader) are skipped
+    # once exceeded so the headline JSON line always lands — cold compiles
+    # through the remote-TPU tunnel can take minutes each.
+    budget_s = float(os.environ.get("AVEX_BENCH_BUDGET_S", "420"))
+    t_start = time.perf_counter()
+
+    def in_budget() -> bool:
+        return time.perf_counter() - t_start < budget_s
+
     f32 = _measure_tpu(batch_size=batch, dtype_name="float32")
     result = {
         "metric": "beats_embedding_extraction_5s16k",
@@ -216,22 +225,22 @@ def main() -> None:
         result["mfu_pct"] = round(f32["mfu_pct"], 2)
         result["tflops_per_sec"] = round(f32["tflops_per_sec"], 2)
 
-    if os.environ.get("AVEX_BENCH_BF16", "1") == "1":
+    if os.environ.get("AVEX_BENCH_BF16", "1") == "1" and in_budget():
         bf16 = _measure_tpu(batch_size=batch, dtype_name="bfloat16")
         result["bf16_clips_per_sec"] = round(bf16["clips_per_sec"], 2)
         if "mfu_pct" in bf16:
             result["bf16_mfu_pct"] = round(bf16["mfu_pct"], 2)
 
     sweep = os.environ.get("AVEX_BENCH_SWEEP", "256")
-    if sweep:
+    if sweep and in_budget():
         result["sweep"] = {}
         for b in (int(x) for x in sweep.split(",") if x.strip()):
-            if b != batch:
+            if b != batch and in_budget():
                 result["sweep"][str(b)] = round(
                     _measure_tpu(batch_size=b, dtype_name="float32", iters=6)["clips_per_sec"], 2
                 )
 
-    if os.environ.get("AVEX_BENCH_WAV", "1") == "1":
+    if os.environ.get("AVEX_BENCH_WAV", "1") == "1" and in_budget():
         try:
             wav = _measure_wav_loader(batch_size=batch)
             result["wav_loader_clips_per_sec"] = round(wav["clips_per_sec"], 2)

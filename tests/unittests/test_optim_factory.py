@@ -1,0 +1,87 @@
+"""Optimizer / scheduler factory semantics (≈ reference optimisers.py:20-105
+and training_utils.py:14-60)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from avex_tpu.training.optimizers import build_scheduler, get_optimizer
+
+
+def test_cosine_schedule_warmup_and_decay():
+    sched = build_scheduler("cosine", base_lr=1e-3, warmup_steps=10, total_steps=100)
+    assert float(sched(0)) == pytest.approx(0.0, abs=1e-9)
+    assert float(sched(10)) == pytest.approx(1e-3, rel=1e-6)
+    # halfway through decay: cos annealing from peak toward 0
+    mid = float(sched(55))
+    assert 0 < mid < 1e-3
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_linear_schedule_endpoints():
+    sched = build_scheduler("linear", base_lr=2e-4, warmup_steps=5, total_steps=25, min_lr=1e-5)
+    assert float(sched(5)) == pytest.approx(2e-4, rel=1e-5)
+    assert float(sched(25)) == pytest.approx(1e-5, rel=1e-3)
+
+
+def test_none_schedule_is_constant():
+    sched = build_scheduler("none", base_lr=3e-4)
+    assert float(sched(0)) == float(sched(1000)) == pytest.approx(3e-4)
+
+
+def test_unknown_names_raise():
+    with pytest.raises(ValueError, match="scheduler"):
+        build_scheduler("exotic", 1e-3)
+    with pytest.raises(ValueError, match="optimizer"):
+        get_optimizer("sgd_with_momentum", 1e-3)
+
+
+def test_adamw_decay_mask_excludes_bias_and_scale():
+    """Weight decay applies to matrices only — biases/LayerNorm scales and
+    the special scalar params are excluded (reference optim_overrides)."""
+    params = {
+        "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "ln": {"scale": jnp.ones((4,)), "bias": jnp.ones((4,))},
+        "logit_scale": jnp.ones(()),
+    }
+    tx = get_optimizer("adamw", 0.0, weight_decay=0.5, params=params)
+    state = tx.init(params)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, state, params)
+    # lr=0 means the adam step is zero; only decayed leaves get an update.
+    assert np.abs(np.asarray(updates["dense"]["kernel"])).sum() == 0  # lr=0 scales decay too
+    # with a real lr, decay shows up only on the kernel
+    tx = get_optimizer("adamw", 1e-2, weight_decay=0.5, params=params)
+    state = tx.init(params)
+    updates, _ = tx.update(zero_grads, state, params)
+    assert np.abs(np.asarray(updates["dense"]["kernel"])).sum() > 0
+    assert np.abs(np.asarray(updates["dense"]["bias"])).sum() == 0
+    assert np.abs(np.asarray(updates["ln"]["scale"])).sum() == 0
+    assert np.abs(np.asarray(updates["logit_scale"])).sum() == 0
+
+
+def test_gradient_clipping_composes():
+    params = {"w": jnp.ones((3,))}
+    tx = get_optimizer("adam", 1.0, gradient_clip_val=0.1)
+    state = tx.init(params)
+    big = {"w": jnp.full((3,), 100.0)}
+    updates, _ = tx.update(big, state, params)
+    # clipped global norm -> finite, small first step (adam normalizes anyway;
+    # this asserts the chain applies without error and yields finite updates)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+
+def test_adamw8bit_reduced_moment_dtype():
+    params = {"w": jnp.ones((8, 8))}
+    tx = get_optimizer("adamw8bit", 1e-3)
+    state = tx.init(params)
+    mu = jax.tree_util.tree_leaves(state[0].mu if hasattr(state[0], "mu") else state)[0]
+    found = [
+        leaf.dtype
+        for leaf in jax.tree_util.tree_leaves(state)
+        if hasattr(leaf, "dtype") and leaf.dtype == jnp.bfloat16
+    ]
+    assert found, "first moment should be stored in bfloat16"
+    del mu
