@@ -1,0 +1,84 @@
+"""CLI surface: ``avex-tpu train|evaluate|list-models`` (≈ avex/cli.py:26-79).
+
+Exercises the click group in-process (CliRunner inherits the session's
+8-device CPU platform), including YAML + ``-p key=value`` patch precedence.
+"""
+
+import yaml
+from click.testing import CliRunner
+
+from avex_tpu.cli import cli
+
+
+def _tiny_run_config(tmp_path):
+    return {
+        "model_spec": {
+            "name": "beats",
+            "pretrained": False,
+            "init_config": {
+                "encoder_layers": 1,
+                "encoder_embed_dim": 64,
+                "encoder_ffn_embed_dim": 128,
+                "encoder_attention_heads": 4,
+                "embed_dim": 32,
+                "dropout": 0.0,
+                "encoder_layerdrop": 0.0,
+            },
+            "audio_config": {
+                "representation": "raw",
+                "normalize": False,
+                "target_length_seconds": 1,
+                "window_selection": "random",
+            },
+        },
+        "training_params": {"train_epochs": 1, "lr": 1e-3, "batch_size": 2},
+        "dataset_config": {
+            "train_datasets": [
+                {
+                    "name": "cli_smoke",
+                    "kind": "synthetic",
+                    "num_samples": 4,
+                    "num_classes": 3,
+                    "clip_seconds": 1.0,
+                }
+            ]
+        },
+        "output_dir": str(tmp_path / "out"),
+        "seed": 0,
+        "num_workers": 0,
+    }
+
+
+def test_list_models_command():
+    result = CliRunner().invoke(cli, ["list-models"])
+    assert result.exit_code == 0, result.output
+
+
+def test_train_command_with_patches(tmp_path):
+    cfg_path = tmp_path / "run.yml"
+    cfg_path.write_text(yaml.safe_dump(_tiny_run_config(tmp_path)))
+    patched_out = tmp_path / "patched_out"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "train",
+            "-c", str(cfg_path),
+            "-p", f"output_dir={patched_out}",
+            "-p", "training_params.lr=0.002",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert "Training finished" in result.output
+    # the -p patch must win over YAML: artifacts land in patched_out
+    assert patched_out.exists()
+    assert (patched_out / "final_model").exists()
+
+
+def test_train_command_rejects_unknown_key(tmp_path):
+    cfg = _tiny_run_config(tmp_path)
+    cfg["not_a_real_field"] = 1
+    cfg_path = tmp_path / "bad.yml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    result = CliRunner().invoke(cli, ["train", "-c", str(cfg_path)])
+    assert result.exit_code != 0  # pydantic extra="forbid" fails fast
