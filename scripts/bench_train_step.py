@@ -29,6 +29,7 @@ def main() -> None:
     parser.add_argument("--batch", type=int, default=64)
     parser.add_argument("--steps", type=int, default=8)
     parser.add_argument("--clip-seconds", type=int, default=5)
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
     args = parser.parse_args()
 
     import jax
@@ -40,7 +41,7 @@ def main() -> None:
     cfg = BEATsConfig(
         dropout=0.0, attention_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0
     )
-    backbone = BEATsBackbone(cfg=cfg, dtype=jnp.float32)
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     num_classes = 10
     samples = args.clip_seconds * 16000
     rng = np.random.default_rng(0)
@@ -50,8 +51,8 @@ def main() -> None:
     class Classifier(nn.Module):
         @nn.compact
         def __call__(self, wav):
-            feats, _ = BEATsBackbone(cfg=cfg, dtype=jnp.float32, name="backbone")(wav)
-            return nn.Dense(num_classes)(feats.mean(axis=1))
+            feats, _ = BEATsBackbone(cfg=cfg, dtype=dtype, name="backbone")(wav)
+            return nn.Dense(num_classes)(feats.astype(jnp.float32).mean(axis=1))
 
     model = Classifier()
     variables = jax.jit(model.init)(
@@ -114,6 +115,7 @@ def main() -> None:
             {
                 "metric": "beats_finetune_step",
                 "batch": args.batch,
+                "dtype": args.dtype,
                 "on_device_ms_per_step": round(on_device_ms, 1),
                 "on_device_clips_per_sec": round(args.batch / (on_device_ms / 1000), 1),
                 "per_call_ms_per_step": round(per_call_ms, 1),
