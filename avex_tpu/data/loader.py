@@ -224,6 +224,21 @@ class DataLoader:
         chunks = self._chunks()
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        # Early-close support: when the consumer abandons the iterator
+        # (`next(iter(loader))`, a break mid-epoch), the finally block sets
+        # `stop` and drains the queue so the producer never blocks forever on
+        # q.put — otherwise each abandoned iterator would pin shm slots and
+        # in-flight worker futures for the loader's lifetime.
+        stop = threading.Event()
+
+        def guarded_put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer() -> None:
             thread_pool = None
@@ -237,7 +252,8 @@ class DataLoader:
                     # are static-shape by construction; the tail batch is
                     # never larger).
                     first = self._load_batch(0, chunks[0])
-                    q.put(first)
+                    if not guarded_put(first):
+                        return
                     slot_bytes = sum(
                         v.nbytes
                         for v in first.values()
@@ -291,24 +307,40 @@ class DataLoader:
                     in_flight = len(free_slots)
                 for _ in range(in_flight):
                     submit_next()
-                while pending:
-                    q.put(collect(pending.popleft()))
+                while pending and not stop.is_set():
+                    if not guarded_put(collect(pending.popleft())):
+                        break
                     submit_next()
+                # collect abandoned futures so shm slots return to the ring
+                while pending:
+                    try:
+                        collect(pending.popleft())
+                    except Exception:
+                        pass
             except BaseException as err:  # surface worker errors to the consumer
-                q.put(err)
+                guarded_put(err)
             finally:
                 if thread_pool is not None:
                     thread_pool.shutdown(wait=False)
-                q.put(sentinel)
+                guarded_put(sentinel)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
-        while True:
-            batch = q.get()
-            if batch is sentinel:
-                break
-            if isinstance(batch, BaseException):
-                thread.join()
-                raise batch
-            yield batch
-        thread.join()
+        try:
+            while True:
+                batch = q.get()
+                if batch is sentinel:
+                    break
+                if isinstance(batch, BaseException):
+                    thread.join()
+                    raise batch
+                yield batch
+            thread.join()
+        finally:
+            stop.set()
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=10)
