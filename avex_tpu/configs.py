@@ -118,6 +118,7 @@ class AudioConfig(BaseModel):
 
     @property
     def target_length_samples(self) -> Optional[int]:
+        """Target clip length in samples (sample_rate x target_length_seconds)."""
         if self.target_length_seconds is None:
             return None
         return int(round(self.target_length_seconds * self.sample_rate))
@@ -392,6 +393,7 @@ class BaseCLIConfig(BaseModel):
         yaml_path: Optional[Union[str, Path]] = None,
         cli_patches: Optional[List[str]] = None,
     ):
+        """Build the config from a YAML file deep-merged with key=value CLI patches (CLI wins; ≈ configs.py:733-764)."""
         data: Dict[str, Any] = {}
         if yaml_path is not None:
             from avex_tpu.io import read_text

@@ -31,6 +31,7 @@ class AudioDataset:
 
     @property
     def num_classes(self) -> int:
+        """Number of distinct labels this dataset yields."""
         return len(self.label_names)
 
     def label_map(self) -> Dict[str, int]:

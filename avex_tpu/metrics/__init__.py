@@ -47,10 +47,12 @@ class _StreamingMetric:
         self._targets: List[np.ndarray] = []
 
     def reset(self) -> None:
+        """Clear accumulated predictions/targets."""
         self._logits.clear()
         self._targets.clear()
 
     def update(self, logits, y) -> None:
+        """Accumulate one batch of (logits, targets)."""
         self._logits.append(_to_numpy(logits))
         self._targets.append(_to_numpy(y))
 

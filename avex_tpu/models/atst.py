@@ -244,6 +244,7 @@ class Model(ModelBase):
             self._layer_names = [f"atst.blocks.{i}" for i in range(self.depth)]
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        """Load a converted ATST torch checkpoint into the Flax variables."""
         converted = convert_atst_state_dict(state, num_classes=self.num_classes)
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

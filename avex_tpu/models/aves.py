@@ -325,6 +325,7 @@ class Model(ModelBase):
             ]
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        """Load a torchaudio-style AVES/HuBERT state dict (prefix-tolerant)."""
         converted = convert_aves_state_dict(state, num_classes=self.num_classes)
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

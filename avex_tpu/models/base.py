@@ -315,4 +315,5 @@ class ModelBase:
 
     @property
     def params(self):
+        """The trainable parameter subtree of ``variables``."""
         return self.variables["params"] if self.variables else None

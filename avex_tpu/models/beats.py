@@ -741,6 +741,7 @@ class Model(ModelBase):
             ]
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        """Load a converted BEATs checkpoint (SSL/finetuned/NatureLM naming)."""
         converted = convert_beats_state_dict(state, self.cfg, num_classes=self.num_classes)
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

@@ -148,6 +148,7 @@ class Model(ModelBase):
             self._layer_names = [f"model.blocks.{i}.attn.proj" for i in range(self.depth)]
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        """Load a timm/MAE-style Bird-MAE state dict."""
         converted = convert_birdmae_state_dict(state, num_classes=self.num_classes)
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

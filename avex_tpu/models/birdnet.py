@@ -81,6 +81,7 @@ class TFLiteBackend:
 
     @property
     def num_classes(self) -> int:
+        """Width of the model's score output (species count)."""
         return int(self._outputs[0]["shape"][-1])
 
     def _invoke(self, clip: np.ndarray) -> None:
@@ -213,6 +214,7 @@ class Model(ModelBase):
     # TF manages its own devices; these mirror the reference's fake moves
     # (birdnet.py:525-568).
     def to(self, device: str):
+        """No-op: TFLite manages its own devices (birdnet.py:525-568)."""
         return self
 
     def cpu(self):

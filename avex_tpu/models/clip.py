@@ -314,6 +314,7 @@ class Model(ModelBase):
         return tokens["input_ids"].astype(np.int32)
 
     def process_audio(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Waveform -> spectrogram (AudioConfig frontend) -> 3-channel image."""
         x = AudioProcessor(self.audio_config)(jnp.asarray(x, jnp.float32)) if self.audio_config else jnp.asarray(x)
         if x.ndim == 3:
             x = jnp.repeat(x[:, None, :, :], 3, axis=1)
@@ -355,6 +356,7 @@ class Model(ModelBase):
         return extract
 
     def extract_embeddings(self, x, padding_mask=None, aggregation="none", **_kwargs):
+        """Layer-wise extraction honoring registered hooks; defaults to the projected audio features (clip.py:143-190)."""
         if isinstance(x, dict):
             padding_mask = x.get("padding_mask", padding_mask)
             x = x["raw_wav"]
@@ -367,6 +369,7 @@ class Model(ModelBase):
         return list(out) if isinstance(out, tuple) else out
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        """Load a CLIP/CLAP checkpoint (audio tower, text tower, projections)."""
         from avex_tpu.models.efficientnet import convert_efficientnet_state_dict
 
         converted: Dict[str, Any] = {"params": {}, "batch_stats": {}}

@@ -378,12 +378,14 @@ class Model(ModelBase):
     def forward(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray] = None):
         # The audio frontend runs outside the conv net, like the reference
         # wrapper's process_audio-then-forward split.
+        """Waveform/spectrogram -> logits (or features when classifier-less)."""
         x = self.process_audio(x)
         return super().forward(x, None)
 
     def extract_fn(self, layers, aggregation):
         # The audio frontend (STFT→mel→norm→3-channel) runs inside the same
         # jitted program as the conv net, so XLA fuses the whole path.
+        """Extraction fn with the audio frontend fused into the jitted program."""
         inner = super().extract_fn(layers, aggregation)
 
         def extract(variables, x, padding_mask):
@@ -394,6 +396,7 @@ class Model(ModelBase):
         return extract
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        """Load a torchvision-style EfficientNet state dict."""
         converted = convert_efficientnet_state_dict(
             state, variant=self.variant, num_classes=self.num_classes
         )

@@ -201,11 +201,13 @@ class Model(ModelBase):
         return {"logits": logits, "embedding": pooled}
 
     def extract_embeddings(self, x, padding_mask=None, aggregation="none", **_kw):
+        """1280-d pooled embedding (the reference's only tap, perch.py:117-152)."""
         if isinstance(x, dict):
             x = x["raw_wav"]
         return self.infer(x)["embedding"]
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        """Load converted TF-Hub weights (raw Keras dumps auto-remapped)."""
         if any("/" in k or k.startswith(("stem_", "block", "top_")) for k in state):
             # Raw TF/Keras variable dump (scripts/convert_perch_tf.py output).
             state = convert_keras_efficientnet_state(state, "b1")

@@ -252,9 +252,11 @@ class Model(ModelBase):
         return x / (jnp.max(x, axis=(2, 3), keepdims=True) + 1e-6)
 
     def forward(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray] = None):
+        """Waveform/spectrogram -> logits (or pooled features)."""
         return super().forward(self.process_audio(x), None)
 
     def extract_fn(self, layers, aggregation):
+        """Extraction fn with the audio frontend fused into the jitted program."""
         inner = super().extract_fn(layers, aggregation)
 
         def extract(variables, x, padding_mask):
@@ -265,6 +267,7 @@ class Model(ModelBase):
         return extract
 
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
+        """Load a torchvision ResNet state dict."""
         converted = convert_resnet_state_dict(state, self.variant, self.num_classes)
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

@@ -71,6 +71,7 @@ class ProbePlan:
 
     @property
     def num_layers(self) -> int:
+        """Number of embedding layers feeding the probe."""
         return len(self.input_shapes)
 
 

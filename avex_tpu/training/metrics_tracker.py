@@ -87,6 +87,7 @@ class MetricsTracker:
 
     @property
     def avg_loss(self) -> float:
+        """Mean loss over the epoch so far."""
         return self.loss_sum / max(self.sample_count, 1)
 
     def epoch_metrics(self) -> Dict[str, float]:

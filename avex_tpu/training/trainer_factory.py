@@ -29,6 +29,7 @@ class TrainerFactory:
     ) -> Trainer:
         # Gradient checkpointing is a model-construction concern in jax:
         # models that support it rebuild their module with nn.remat.
+        """Wire criterion + strategy + checkpointing + metrics into a Trainer (≈ trainer_factory.py:38-180)."""
         if config.training_params.gradient_checkpointing:
             try:
                 model.enable_gradient_checkpointing()

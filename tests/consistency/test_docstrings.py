@@ -1,47 +1,39 @@
 """Docstring coverage enforcement (≈ reference tests/consistency/test_docstrings.py).
 
-Every public module, class, and public function/method in avex_tpu must carry
-a docstring. Private names (leading underscore) are exempt.
+Every module, public top-level class/function, and public method in
+``avex_tpu`` must carry a docstring — the reference enforces the same
+invariant as a test so provenance citations and behavior notes stay with the
+code.
 """
 
-import importlib
-import inspect
-import pkgutil
+import ast
+from pathlib import Path
 
-import pytest
-
-import avex_tpu
+PACKAGE = Path(__file__).resolve().parents[2] / "avex_tpu"
 
 
-def _iter_modules():
-    for info in pkgutil.walk_packages(avex_tpu.__path__, prefix="avex_tpu."):
-        # CLI imports click lazily; birdnet needs optional deps at call time only.
-        yield info.name
-
-
-def _public_members(module):
-    for name, obj in vars(module).items():
-        if name.startswith("_"):
-            continue
-        if getattr(obj, "__module__", None) != module.__name__:
-            continue
-        if inspect.isclass(obj) or inspect.isfunction(obj):
-            yield name, obj
-
-
-def test_all_public_symbols_have_docstrings():
+def _missing() -> list:
     missing = []
-    for mod_name in _iter_modules():
-        module = importlib.import_module(mod_name)
-        if not module.__doc__:
-            missing.append(mod_name)
-        for name, obj in _public_members(module):
-            if not inspect.getdoc(obj):
-                missing.append(f"{mod_name}.{name}")
-            if inspect.isclass(obj):
-                for meth_name, meth in vars(obj).items():
-                    if meth_name.startswith("_") or not inspect.isfunction(meth):
-                        continue
-                    if not inspect.getdoc(meth):
-                        missing.append(f"{mod_name}.{name}.{meth_name}")
-    assert not missing, "Missing docstrings:\n" + "\n".join(sorted(set(missing)))
+    for path in sorted(PACKAGE.rglob("*.py")):
+        tree = ast.parse(path.read_text())
+        rel = path.relative_to(PACKAGE.parent)
+        if not ast.get_docstring(tree):
+            missing.append(f"{rel}: module")
+
+        def check(body, prefix=""):
+            for node in body:
+                if isinstance(node, ast.ClassDef):
+                    if not node.name.startswith("_") and not ast.get_docstring(node):
+                        missing.append(f"{rel}:{node.lineno}: class {node.name}")
+                    check(node.body, prefix=node.name + ".")
+                elif isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    if not node.name.startswith("_") and not ast.get_docstring(node):
+                        missing.append(f"{rel}:{node.lineno}: {prefix}{node.name}")
+
+        check(tree.body)
+    return missing
+
+
+def test_public_api_has_docstrings():
+    missing = _missing()
+    assert not missing, "missing docstrings:\n" + "\n".join(missing)
