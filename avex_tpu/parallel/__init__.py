@@ -197,6 +197,31 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def _first_slurm_node(nodelist: str) -> str:
+    """First hostname of a SLURM nodelist expression.
+
+    Handles bracketed ranges and hyphenated hostnames:
+    ``node[001-004]`` → ``node001``, ``gpu-a[3,17]`` → ``gpu-a3``,
+    ``tpu-pod-1`` → ``tpu-pod-1``, ``a1,a2`` → ``a1``.
+    """
+    depth = 0
+    first = nodelist
+    for i, ch in enumerate(nodelist):
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        elif ch == "," and depth == 0:  # comma separating whole hostnames
+            first = nodelist[:i]
+            break
+    first = first.strip()
+    if "[" in first:
+        prefix, rng = first.split("[", 1)
+        token = rng.rstrip("]").split(",")[0].split("-")[0]
+        return prefix + token
+    return first
+
+
 def _discover_slurm() -> Optional[Dict[str, Any]]:
     """SLURM env → (coordinator, num_processes, process_id)
     (≈ distributed.py:14-28, 104-161, incl. job-id-salted port)."""
@@ -205,8 +230,7 @@ def _discover_slurm() -> Optional[Dict[str, Any]]:
     try:
         process_id = int(os.environ["SLURM_PROCID"])
         num_processes = int(os.environ["SLURM_NTASKS"])
-        nodelist = os.environ.get("SLURM_NODELIST", "localhost")
-        head = nodelist.split(",")[0].replace("[", "").split("-")[0]
+        head = _first_slurm_node(os.environ.get("SLURM_NODELIST", "localhost"))
         job_id = int(os.environ.get("SLURM_JOB_ID", "0"))
         port = 10000 + (job_id % 20000)
         return {

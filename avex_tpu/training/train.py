@@ -472,11 +472,14 @@ class Trainer:
             is_final=True,
         )
         if self.model.label_mapping is not None:
-            import json
+            from avex_tpu.parallel import is_main_process
 
-            (self.checkpoints.output_dir / "label_map.json").write_text(
-                json.dumps(self.model.label_mapping)
-            )
+            if is_main_process():
+                import json
+
+                (self.checkpoints.output_dir / "label_map.json").write_text(
+                    json.dumps(self.model.label_mapping)
+                )
         # Reflect trained weights back into the model handle.
         self.model.variables = {
             "params": jax.device_get(self.state.params),

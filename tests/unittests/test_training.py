@@ -404,3 +404,14 @@ def test_multiworker_loader_survives_abandoned_iterators():
     for a, b in zip(expected, full):
         for key in a:
             np.testing.assert_array_equal(a[key], b[key])
+
+
+def test_first_slurm_node_parsing():
+    from avex_tpu.parallel import _first_slurm_node
+
+    assert _first_slurm_node("node[001-004]") == "node001"
+    assert _first_slurm_node("gpu-a[3,17]") == "gpu-a3"
+    assert _first_slurm_node("tpu-pod-1") == "tpu-pod-1"
+    assert _first_slurm_node("a1,a2") == "a1"
+    assert _first_slurm_node("n[5],m[7]") == "n5"
+    assert _first_slurm_node("localhost") == "localhost"
