@@ -57,5 +57,73 @@ def list_models_cmd() -> None:
     list_models(verbose=True)
 
 
+@cli.command()
+@click.option("-m", "--model", "model_name", required=True, help="registry key or spec YAML")
+@click.option("-i", "--input", "input_path", required=True, type=str,
+              help="audio file or directory (wav/flac/npy)")
+@click.option("-o", "--output", "output_path", required=True, type=str, help="output .h5")
+@click.option("--layers", default="last_layer", help="comma list of layer selectors")
+@click.option("--aggregation", default="mean",
+              type=click.Choice(["mean", "max", "cls_token", "none"]))
+@click.option("--batch-size", default=32, type=int)
+@click.option("--clip-seconds", default=5.0, type=float,
+              help="fixed window length (center crop/pad)")
+@click.option("--random-weights", is_flag=True, help="skip checkpoint download (offline)")
+def embed(model_name, input_path, output_path, layers, aggregation,
+          batch_size, clip_seconds, random_weights) -> None:
+    """Embed audio files into an HDF5 cache (the most common one-off task:
+    point a model at a directory, get layer-wise embeddings out)."""
+    import json
+    from pathlib import Path
+
+    import numpy as np
+
+    from avex_tpu._native import decode_audio, resample
+    from avex_tpu.evaluation import extract_embeddings_to_cache
+    from avex_tpu.models.load import load_model
+    from avex_tpu.ops.audio import pad_or_window_np
+
+    src = Path(input_path)
+    files = (
+        sorted(p for ext in ("*.wav", "*.flac", "*.npy") for p in src.rglob(ext))
+        if src.is_dir()
+        else [src]
+    )
+    if not files:
+        raise click.ClickException(f"no .wav/.flac/.npy files under {src}")
+
+    model = load_model(model_name, return_features_only=True, random_weights=random_weights)
+    ac = getattr(model, "audio_config", None)
+    sr = int(ac.sample_rate) if ac is not None and getattr(ac, "sample_rate", None) else 16000
+    target = int(clip_seconds * sr)
+
+    def batches():
+        for start in range(0, len(files), batch_size):
+            clips = []
+            for path in files[start : start + batch_size]:
+                if path.suffix == ".npy":
+                    wav = np.load(path).astype(np.float32).reshape(-1)
+                else:
+                    wav, file_sr = decode_audio(str(path), mono=True)
+                    if file_sr != sr:
+                        wav = resample(wav, file_sr, sr)
+                clip, _mask = pad_or_window_np(wav, target, window_selection="center")
+                clips.append(clip)
+            yield {"raw_wav": np.stack(clips)}
+
+    import jax
+
+    from avex_tpu.parallel import make_mesh
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    model.register_hooks_for_layers([s.strip() for s in layers.split(",") if s.strip()])
+    extract_embeddings_to_cache(
+        model, batches(), output_path, aggregation=aggregation, mesh=mesh
+    )
+    manifest = Path(output_path).with_suffix(".files.json")
+    manifest.write_text(json.dumps([str(p) for p in files], indent=0))
+    click.echo(f"Embedded {len(files)} files -> {output_path} (manifest: {manifest})")
+
+
 if __name__ == "__main__":
     cli()

@@ -82,3 +82,39 @@ def test_train_command_rejects_unknown_key(tmp_path):
     cfg_path.write_text(yaml.safe_dump(cfg))
     result = CliRunner().invoke(cli, ["train", "-c", str(cfg_path)])
     assert result.exit_code != 0  # pydantic extra="forbid" fails fast
+
+
+def test_embed_command(tmp_path):
+    import numpy as np
+    from scipy.io import wavfile
+
+    audio_dir = tmp_path / "clips"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        wav = (rng.standard_normal(8000) * 0.1 * 32767).astype(np.int16)
+        wavfile.write(audio_dir / f"clip_{i}.wav", 16000, wav)
+
+    out = tmp_path / "embs.h5"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "embed",
+            "-m", "esp_aves2_sl_beats_all",
+            "-i", str(audio_dir),
+            "-o", str(out),
+            "--random-weights",
+            "--clip-seconds", "1",
+            "--batch-size", "2",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert out.exists()
+
+    from avex_tpu.evaluation import load_cached_embeddings
+
+    embs, _labels, meta = load_cached_embeddings(out)
+    assert embs[0].shape[0] == 3 and embs[0].shape[-1] == 768
+    assert meta["aggregation"] == "mean"
+    assert out.with_suffix(".files.json").exists()
