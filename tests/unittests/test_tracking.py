@@ -97,3 +97,23 @@ def test_read_jsonl_roundtrip(tmp_path):
     rows = read_jsonl(tmp_path / "log.jsonl")
     assert rows[0]["experiment"] == "e"
     assert "run_id" in rows[0] and "timestamp" in rows[0]
+
+
+def test_experiment_logger_jsonl_and_fallback(tmp_path):
+    """ExperimentLogger: local JSONL sink always works; missing mlflow/wandb
+    degrade gracefully to 'none' (≈ experiment_logger.py:33-160)."""
+    import json
+
+    from avex_tpu.utils.experiment_logger import ExperimentLogger
+
+    exp_logger = ExperimentLogger(backend="mlflow", output_dir=str(tmp_path))
+    assert exp_logger.backend == "none"  # mlflow absent -> fallback, no crash
+    exp_logger.log_params({"lr": 1e-3, "model": "beats"})
+    exp_logger.log_metrics({"loss": 0.5, "acc": 0.9, "skipme": "str"}, step=1, split="train")
+    exp_logger.finalize()
+
+    lines = [json.loads(l) for l in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert lines[0]["type"] == "params" and lines[0]["params"]["model"] == "beats"
+    metric_rec = lines[1]
+    assert metric_rec["metrics"] == {"train/loss": 0.5, "train/acc": 0.9}
+    assert metric_rec["step"] == 1
