@@ -4,6 +4,7 @@ Exercises the click group in-process (CliRunner inherits the session's
 8-device CPU platform), including YAML + ``-p key=value`` patch precedence.
 """
 
+import pytest
 import yaml
 from click.testing import CliRunner
 
@@ -84,6 +85,7 @@ def test_train_command_rejects_unknown_key(tmp_path):
     assert result.exit_code != 0  # pydantic extra="forbid" fails fast
 
 
+@pytest.mark.slow  # full-size BEATs build: ~30 s
 def test_embed_command(tmp_path):
     import numpy as np
     from scipy.io import wavfile
