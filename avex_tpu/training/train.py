@@ -401,12 +401,22 @@ class Trainer:
         metrics = tracker.epoch_metrics()
         metrics["epoch_seconds"] = time.time() - t0
         metrics["primary"] = tracker.primary_metric()
+        if jax.process_count() > 1:
+            # Cross-host metric sync (the reference's all_reduce-SUM/avg,
+            # distributed.py:247-328) so every host logs/compares the same
+            # numbers — best-checkpoint decisions must not diverge.
+            from avex_tpu.parallel import gather_metrics
+
+            metrics = gather_metrics(metrics)
         return metrics
 
     def train(self) -> Dict[str, Any]:
         """Run the full training loop; returns the final metric summary."""
+        import os
+
         cfg = self.params_cfg
         history = []
+        profile_dir = os.environ.get("AVEX_PROFILE_DIR")
         for epoch in range(self.start_epoch, cfg.train_epochs):
             # Two-stage transition (train.py:704-751): unfreeze + lower LR.
             if self._stage == 1 and epoch >= cfg.freeze_backbone_epochs:
@@ -420,7 +430,16 @@ class Trainer:
 
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
-            train_metrics = self._run_epoch(self.train_loader, train=True, epoch=epoch)
+            if profile_dir and epoch == self.start_epoch:
+                # First-epoch jax.profiler capture (TensorBoard-viewable) when
+                # requested — observability the reference lacks (SURVEY §5).
+                from avex_tpu.utils.profiling import trace
+
+                with trace(profile_dir):
+                    train_metrics = self._run_epoch(self.train_loader, train=True, epoch=epoch)
+                logger.info("profiled epoch %d -> %s", epoch, profile_dir)
+            else:
+                train_metrics = self._run_epoch(self.train_loader, train=True, epoch=epoch)
             record = {"epoch": epoch, "train": train_metrics}
 
             if self.val_loader is not None and not cfg.skip_validation:

@@ -415,3 +415,17 @@ def test_first_slurm_node_parsing():
     assert _first_slurm_node("a1,a2") == "a1"
     assert _first_slurm_node("n[5],m[7]") == "n5"
     assert _first_slurm_node("localhost") == "localhost"
+
+
+@pytest.mark.slow  # full 2-epoch trainer loop (~70 s)
+def test_profiled_first_epoch_keeps_full_loop(tmp_path, monkeypatch):
+    """AVEX_PROFILE_DIR wraps the first epoch in a jax.profiler trace without
+    changing validation/checkpoint behavior."""
+    monkeypatch.setenv("AVEX_PROFILE_DIR", str(tmp_path / "trace"))
+    config = _run_config(tmp_path, epochs=2)
+    train, val, _test, _label_map, num_classes = build_dataloaders(config)
+    model = avex_tpu.build_model_from_spec(config.model_spec, num_classes=num_classes)
+    result = Trainer(model, config, train, val).train()
+    assert (tmp_path / "trace").exists()
+    assert len(result["history"]) == 2
+    assert "val" in result["history"][0]  # profiled epoch still validates
