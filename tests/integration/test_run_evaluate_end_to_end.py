@@ -155,3 +155,32 @@ def test_online_unfrozen_finetune(tmp_path):
     )
     results = run_evaluate_main(config)
     assert 0.0 <= results[0]["metrics"]["probe"]["test_accuracy"] <= 1.0
+
+
+@pytest.mark.integration
+@pytest.mark.slow
+def test_offline_multi_layer_transformer_probe(tmp_path):
+    """Offline × multi-layer: 'all' layers cached to a multi-dataset HDF5,
+    learned layer weights + projectors + a sequence head trained from it —
+    the remaining cell of the reference's e2e matrix
+    (test_run_evaluate_end_to_end.py:1-50: probes × frozen × layers × modes)."""
+    config = _eval_config(
+        tmp_path,
+        ProbeConfig(
+            probe_type="transformer",
+            target_layers=["all"],
+            aggregation="none",
+            num_heads=4,
+            num_layers=1,
+        ),
+        eval_modes=["probe"],
+    )
+    results = run_evaluate_main(config)
+    assert 0.0 <= results[0]["metrics"]["probe"]["test_accuracy"] <= 1.0
+    caches = list((Path(config.save_dir) / "embeddings").rglob("*.h5"))
+    assert caches
+    import h5py
+
+    with h5py.File(caches[0]) as f:
+        assert bool(f.attrs["multi_layer"]) is True
+        assert "embeddings_1" in f  # >1 layer cached
