@@ -395,6 +395,27 @@ class Model(ModelBase):
 
         return extract
 
+    @staticmethod
+    def _aggregate(emb: jnp.ndarray, aggregation: str) -> jnp.ndarray:
+        """EfficientNet-specific pooled aggregation for 4D conv maps.
+
+        Mirrors the reference wrapper's override (efficientnet.py:296-314):
+        (B, C, H, W) pools over the trailing time axis (mean/max) then
+        flattens to (B, C*H); cls_token takes channel 0 then flattens.
+        2D/3D inputs keep the base semantics.
+        """
+        if emb.ndim != 4:
+            return ModelBase._aggregate(emb, aggregation)
+        if aggregation == "mean":
+            pooled = emb.mean(axis=-1)
+        elif aggregation == "max":
+            pooled = emb.max(axis=-1)
+        elif aggregation == "cls_token":
+            pooled = emb[:, 0, :]
+        else:
+            raise ValueError(f"Unsupported aggregation method: {aggregation}")
+        return pooled.reshape(pooled.shape[0], -1)
+
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
         """Load a torchvision-style EfficientNet state dict."""
         converted = convert_efficientnet_state_dict(

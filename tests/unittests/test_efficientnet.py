@@ -144,3 +144,26 @@ def test_conversion_roundtrip():
         np.asarray(params["classifier"]["kernel"]) + 1.0,
         atol=1e-6,
     )
+
+
+def test_pooled_aggregation_over_4d_conv_maps(rng):
+    """The reference wrapper pools 4D (B,C,H,W) conv maps over the time axis
+    then flattens to (B, C*H) (efficientnet.py:296-314); the base contract
+    (raise on 4D) applies only to models without the override."""
+    import jax.numpy as jnp
+
+    from avex_tpu.models.efficientnet import Model
+
+    model = Model(
+        pretrained=False,
+        return_features_only=True,
+        audio_config={"representation": "mel_spectrogram", "n_mels": 64},
+    )
+    model.register_hooks_for_layers(["model.features.8.0"])
+    wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+    raw = np.asarray(model.extract_embeddings(wav, aggregation="none"))
+    assert raw.ndim == 4
+    mean = np.asarray(model.extract_embeddings(wav, aggregation="mean"))
+    np.testing.assert_allclose(mean, raw.mean(axis=-1).reshape(2, -1), rtol=1e-5)
+    mx = np.asarray(model.extract_embeddings(wav, aggregation="max"))
+    np.testing.assert_allclose(mx, raw.max(axis=-1).reshape(2, -1), rtol=1e-5)
