@@ -461,6 +461,11 @@ class RunConfig(BaseCLIConfig):
     logging_uri: str = "http://127.0.0.1:5000/"
     label_type: Literal["supervised", "text", "self_supervised"] = "supervised"
     resume_from_checkpoint: Optional[str] = None
+    #: Periodic checkpoint cadence in epochs (reference ``checkpoint_freq``,
+    #: train.py:450-453; their default 1 saves every epoch). 0 disables —
+    #: Orbax checkpoints carry full optimizer state, so per-epoch saves are
+    #: opt-in here.
+    checkpoint_freq: int = 0
 
     # TPU-native distribution: a mesh instead of nccl process groups.
     distributed: bool = False

@@ -51,7 +51,14 @@ def main(config: RunConfig) -> Dict[str, Any]:
             }
         )
 
-    trainer = Trainer(model, config, train_loader, val_loader, exp_logger=exp_logger)
+    trainer = Trainer(
+        model,
+        config,
+        train_loader,
+        val_loader,
+        exp_logger=exp_logger,
+        checkpoint_every_epochs=config.checkpoint_freq,
+    )
     result = trainer.train()
     if exp_logger is not None:
         exp_logger.finalize()

@@ -1,6 +1,8 @@
 """Training runtime: data pipeline, sharded train step, two-stage fine-tune,
 checkpoint/resume — all over the virtual 8-device CPU mesh."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -429,3 +431,16 @@ def test_profiled_first_epoch_keeps_full_loop(tmp_path, monkeypatch):
     assert (tmp_path / "trace").exists()
     assert len(result["history"]) == 2
     assert "val" in result["history"][0]  # profiled epoch still validates
+
+
+@pytest.mark.slow  # full run_train loop (~70 s)
+def test_checkpoint_freq_config_wires_periodic_saves(tmp_path):
+    """RunConfig.checkpoint_freq (reference checkpoint_freq, train.py:450-453)
+    drives checkpoint_epoch_N saves through the run_train entry point."""
+    from avex_tpu.run_train import main as run_train_main
+
+    config = _run_config(tmp_path, epochs=2).model_copy(update={"checkpoint_freq": 1})
+    run_train_main(config)
+    out = Path(config.output_dir)
+    assert (out / "checkpoint_epoch_1.meta.json").exists()
+    assert (out / "final_model").exists()
