@@ -472,7 +472,11 @@ class RunConfig(BaseCLIConfig):
     mesh: MeshConfig = Field(default_factory=MeshConfig)
 
     augmentations: List[Augment] = Field(default_factory=list)
-    loss_function: Literal["cross_entropy", "bce", "focal", "clip"] = "cross_entropy"
+    #: reference aliases accepted and normalized: binary_cross_entropy → bce,
+    #: contrastive → clip (reference configs.py:830-837).
+    loss_function: Literal[
+        "cross_entropy", "bce", "binary_cross_entropy", "focal", "clip", "contrastive"
+    ] = "cross_entropy"
     multilabel: bool = False
     metrics: List[str] = Field(default_factory=lambda: ["accuracy"])
     device: str = "tpu"
@@ -486,6 +490,31 @@ class RunConfig(BaseCLIConfig):
     scheduler: SchedulerConfig = Field(default_factory=SchedulerConfig)
     clustering_eval: Optional[ClusteringEvalConfig] = None
     debug_mode: bool = False
+
+    @field_validator("loss_function", mode="after")
+    @classmethod
+    def _normalize_loss_alias(cls, v: str) -> str:
+        """Collapse the reference's loss-name aliases to canonical values."""
+        return {"binary_cross_entropy": "bce", "contrastive": "clip"}.get(v, v)
+
+    @field_validator("augmentations", mode="before")
+    @classmethod
+    def _flatten_augments(cls, raw: Any) -> Any:
+        """Accept the reference's single-key YAML augmentation style
+        (``- noise: {...}`` / ``- mixup: {...}``) by flattening it into the
+        ``kind``-discriminated dicts the union parses (≈ configs.py:879-913)."""
+        if not raw:
+            return raw
+        processed = []
+        for item in raw:
+            if isinstance(item, dict) and len(item) == 1 and "kind" not in item:
+                aug_type, params = next(iter(item.items()))
+                params = dict(params or {})
+                params["kind"] = aug_type
+                processed.append(params)
+            else:
+                processed.append(item)
+        return processed
 
     @model_validator(mode="before")
     @classmethod
