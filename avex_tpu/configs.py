@@ -308,6 +308,30 @@ class DatasetConfig(BaseModel):
     seed: int = 0
     transformations: List[Dict[str, Any]] = Field(default_factory=list)
 
+    @model_validator(mode="before")
+    @classmethod
+    def _esp_data_style_compat(cls, data: Any) -> Any:
+        """Accept the reference's esp_data dataset stanzas (``dataset_name`` +
+        ``split`` like ``dogs_train``): BEANS tasks route onto the HF-backed
+        preset, anything else keeps its fields via ``extra="allow"`` so the
+        config at least parses (reference data_configs/*.yml)."""
+        if not isinstance(data, dict) or "name" in data or "dataset_name" not in data:
+            return data
+        data = dict(data)
+        dsname = str(data.pop("dataset_name"))
+        split = str(data.get("split") or "")
+        data["name"] = f"{dsname}_{split}" if split else dsname
+        if dsname == "beans" and "_" in split:
+            from avex_tpu.data.beans import BEANS_TASKS
+
+            task, _, part = split.rpartition("_")
+            if task in BEANS_TASKS:
+                data.setdefault("kind", "hf")
+                data.setdefault("path", BEANS_TASKS[task][0])
+                data["split"] = part
+                data.setdefault("label_column", BEANS_TASKS[task][1])
+        return data
+
 
 class DatasetCollectionConfig(BaseModel):
     """Train/val/test dataset lists + concat policy (≈ data/configs.py:22)."""
@@ -319,6 +343,25 @@ class DatasetCollectionConfig(BaseModel):
     test_datasets: List[DatasetConfig] = Field(default_factory=list)
     concat_policy: Literal["hard", "overlap", "soft"] = "hard"
     transformations: List[Dict[str, Any]] = Field(default_factory=list)
+
+    @model_validator(mode="before")
+    @classmethod
+    def _reference_concat_compat(cls, data: Any) -> Any:
+        """Reference spellings (data/configs.py:44-75): ``concatenate_method``
+        → concat_policy; the per-split ``concatenate_{train,val,test}``
+        booleans are accepted and dropped (splits always concatenate here);
+        None dataset lists normalize to empty."""
+        if not isinstance(data, dict):
+            return data
+        data = dict(data)
+        if "concatenate_method" in data and "concat_policy" not in data:
+            data["concat_policy"] = data.pop("concatenate_method")
+        for key in ("concatenate_train", "concatenate_val", "concatenate_test", "concatenate"):
+            data.pop(key, None)
+        for key in ("train_datasets", "val_datasets", "test_datasets"):
+            if data.get(key) is None:
+                data[key] = []
+        return data
 
 
 class EvaluationSet(BaseModel):
@@ -334,6 +377,24 @@ class EvaluationSet(BaseModel):
     retrieval_mode: Literal["test_vs_test", "train_vs_test"] = "test_vs_test"
     multilabel: bool = False
 
+    @model_validator(mode="before")
+    @classmethod
+    def _reference_field_compat(cls, data: Any) -> Any:
+        """Reference spellings: ``validation:`` → ``val``; per-dataset
+        ``multi_label`` bubbles up to the set-level flag (data/configs.py:102)."""
+        if not isinstance(data, dict):
+            return data
+        data = dict(data)
+        if "validation" in data and "val" not in data:
+            data["val"] = data.pop("validation")
+        if "multilabel" not in data:
+            for key in ("train", "val", "test"):
+                stanza = data.get(key)
+                if isinstance(stanza, dict) and stanza.get("multi_label"):
+                    data["multilabel"] = True
+                    break
+        return data
+
 
 class BenchmarkEvaluationConfig(BaseModel):
     """A benchmark = list of evaluation sets (≈ data/configs.py:144)."""
@@ -343,10 +404,41 @@ class BenchmarkEvaluationConfig(BaseModel):
     name: str = "benchmark"
     evaluation_sets: List[EvaluationSet] = Field(default_factory=list)
 
+    @model_validator(mode="before")
+    @classmethod
+    def _benchmark_name_alias(cls, data: Any) -> Any:
+        """Reference spelling: ``benchmark_name`` → ``name``."""
+        if isinstance(data, dict) and "benchmark_name" in data and "name" not in data:
+            data = dict(data)
+            data["name"] = data.pop("benchmark_name")
+        return data
+
 
 # ---------------------------------------------------------------------------
 # YAML + CLI source merging
 # ---------------------------------------------------------------------------
+
+
+def _resolve_nested_config_paths(data: Dict[str, Any], base_dir: Path) -> None:
+    """Resolve nested-config path strings against the referencing file's
+    directory when they don't exist from the CWD (the reference's configs
+    use repo-root-relative paths; resolving sibling-relative makes a config
+    tree relocatable)."""
+    keys = ("dataset_config", "run_config", "probe_config")
+
+    def fix(d: Dict[str, Any]) -> None:
+        for key in keys:
+            value = d.get(key)
+            if isinstance(value, str) and not Path(value).exists():
+                candidate = base_dir / value
+                if candidate.exists():
+                    d[key] = str(candidate)
+        for exp in d.get("experiments") or []:
+            if isinstance(exp, dict):
+                fix(exp)
+
+    if isinstance(data, dict):
+        fix(data)
 
 
 def deep_update(base: Dict[str, Any], patch: Dict[str, Any]) -> Dict[str, Any]:
@@ -399,6 +491,7 @@ class BaseCLIConfig(BaseModel):
             from avex_tpu.io import read_text
 
             data = yaml.safe_load(read_text(str(yaml_path))) or {}
+            _resolve_nested_config_paths(data, Path(str(yaml_path)).parent)
         for patch in cli_patches or []:
             if "=" not in patch:
                 raise ValueError(f"CLI patch must be key=value, got: {patch!r}")
@@ -588,6 +681,29 @@ class OfflineEmbeddingsConfig(BaseModel):
     overwrite: bool = False
     memory_limit_gb: float = 8.0
     chunk_size: Optional[int] = None
+
+    @model_validator(mode="before")
+    @classmethod
+    def _reference_overwrite_alias(cls, data: Any) -> Any:
+        """Reference spelling: ``overwrite_embeddings`` → ``overwrite``
+        (configs.py:1270)."""
+        if not isinstance(data, dict):
+            return data
+        data = dict(data)
+        if "overwrite_embeddings" in data and "overwrite" not in data:
+            data["overwrite"] = data.pop("overwrite_embeddings")
+        # The reference's manual streaming/chunking knobs (configs.py:1255-1334)
+        # tune its hand-rolled HDF5 writer; h5py's resizable datasets handle
+        # chunk sizing here and streaming is decided from memory_limit_gb, so
+        # these are accepted and dropped for config compatibility.
+        for key in (
+            "use_streaming_embeddings", "streaming_chunk_size", "hdf5_compression",
+            "hdf5_compression_level", "auto_chunk_size", "max_chunk_size",
+            "min_chunk_size", "batch_chunk_size", "cache_size_limit_gb",
+            "probe_storage_aggregation",
+        ):
+            data.pop(key, None)
+        return data
 
 
 class EvaluateConfig(BaseCLIConfig):

@@ -146,6 +146,7 @@ def test_conversion_roundtrip():
     )
 
 
+@pytest.mark.slow  # full EfficientNet + mel frontend x3 (~40 s)
 def test_pooled_aggregation_over_4d_conv_maps(rng):
     """The reference wrapper pools 4D (B,C,H,W) conv maps over the time axis
     then flattens to (B, C*H) (efficientnet.py:296-314); the base contract

