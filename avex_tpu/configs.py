@@ -330,6 +330,21 @@ class DatasetConfig(BaseModel):
                 data.setdefault("path", BEANS_TASKS[task][0])
                 data["split"] = part
                 data.setdefault("label_column", BEANS_TASKS[task][1])
+        elif dsname in ("birdset", "birdset_train") and "-" in split:
+            # esp_data split naming 'POW-train' → our HF preset (task subset
+            # + split); label column follows the preset, not esp_data's
+            # labels_as_list transform column.
+            from avex_tpu.data.birdset import BIRDSET_TASKS, birdset_config
+
+            task, _, part = split.partition("-")
+            if task.upper() in BIRDSET_TASKS:
+                preset = birdset_config(task, part)
+                for key, value in preset.model_dump(exclude_none=True).items():
+                    if key not in ("name",):
+                        data.setdefault(key, value)
+                data["kind"] = preset.kind
+                data["split"] = preset.split
+                data["label_column"] = preset.label_column
         return data
 
 

@@ -132,3 +132,20 @@ def test_reference_evaluation_config_parses(path, monkeypatch):
         raise
     assert cfg.experiments
     assert cfg.dataset_config.evaluation_sets
+
+
+def test_esp_data_stanza_routing():
+    """esp_data-style stanzas route onto the HF-backed presets."""
+    from avex_tpu.configs import DatasetConfig
+
+    beans = DatasetConfig(**{"dataset_name": "beans", "split": "dogs_train"})
+    assert (beans.kind, beans.path, beans.split) == ("hf", "davidrrobinson/dogs", "train")
+
+    birdset = DatasetConfig(
+        **{"dataset_name": "birdset", "split": "POW-train", "multi_label": True}
+    )
+    assert (birdset.kind, birdset.subset, birdset.split) == ("hf", "POW", "train")
+    assert birdset.label_column == "ebird_code" and birdset.sample_rate == 32000
+
+    other = DatasetConfig(**{"dataset_name": "giant_otters", "split": "train"})
+    assert other.name == "giant_otters_train"  # parses; backend binding is user-side
