@@ -35,6 +35,7 @@ def clip_model():
     return avex_tpu.build_model_from_spec(_spec())
 
 
+@pytest.mark.slow  # EfficientNet tower init + jit dominate (~50 s)
 def test_forward_contract(clip_model, rng):
     wav = rng.standard_normal((3, 8000)).astype(np.float32) * 0.1
     texts = ["a dog barking", "bird song at dawn", "an insect chirp"]
