@@ -120,3 +120,27 @@ def test_embed_command(tmp_path):
     assert embs[0].shape[0] == 3 and embs[0].shape[-1] == 768
     assert meta["aggregation"] == "mean"
     assert out.with_suffix(".files.json").exists()
+
+
+def test_sweep_runner_dry_run(tmp_path):
+    """scripts/run_sweep.py expands the grid into per-combination CLI patches."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    sweep = tmp_path / "sweep.yml"
+    sweep.write_text(
+        "base_config: cfg.yml\n"
+        "grid:\n"
+        "  training_params.lr: [0.001, 0.0003]\n"
+        "  training_params.batch_size: [8, 16]\n"
+    )
+    script = Path(__file__).resolve().parents[2] / "scripts" / "run_sweep.py"
+    out = subprocess.run(
+        [sys.executable, str(script), str(sweep), "--dry-run"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    lines = [l for l in out.splitlines() if l.startswith("::")]
+    assert len(lines) == 4  # 2 x 2 grid
+    assert "training_params.lr=0.001" in lines[0]
+    assert "run_name=sweep_3" in lines[3]

@@ -141,3 +141,20 @@ def test_list_probe_classes():
     from avex_tpu.probes import list_probe_classes
 
     assert set(list_probe_classes()) >= {"linear", "mlp", "lstm", "attention", "transformer"}
+
+
+def test_learned_weights_table(rng):
+    """get_learned_weights_table renders the softmax mixture
+    (≈ base_probes.py:208-241); single-layer probes report the no-weights
+    message."""
+    multi = build_probe_from_config(
+        ProbeConfig(probe_type="linear"), num_classes=3, input_dim=[(8,), (8,)]
+    )
+    table = multi.get_learned_weights_table()
+    assert "Learned Layer Weights" in table and "Layer_0" in table and "Layer_1" in table
+    assert "Number of layers: 2" in table
+
+    single = build_probe_from_config(
+        ProbeConfig(probe_type="linear"), num_classes=3, input_dim=8
+    )
+    assert "does not use weighted sum" in single.get_learned_weights_table()
