@@ -35,6 +35,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "init_multihost",
+    "local_array",
     "local_device_count",
     "is_main_process",
     "P",
@@ -184,6 +185,30 @@ def fsdp_tree_shardings(tree: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
     return jax.tree_util.tree_map(
         lambda x: fsdp_sharding(tuple(np.shape(x)), mesh, min_size), tree
     )
+
+
+def local_array(x: Any) -> Any:
+    """This process's slice of a (possibly non-addressable) global array.
+
+    Multi-controller jax forbids materializing a global array whose shards
+    live on other hosts; host-side consumers (metric calculators pairing
+    device outputs with this host's labels) want exactly the local rows.
+    Fully-addressable arrays and non-arrays pass through unchanged.
+    """
+    if not hasattr(x, "is_fully_addressable") or x.is_fully_addressable:
+        return x
+    shards = sorted(
+        x.addressable_shards, key=lambda s: (s.index[0].start or 0) if s.index else 0
+    )
+    seen = set()
+    parts = []
+    for shard in shards:
+        key = tuple((sl.start, sl.stop) for sl in shard.index)
+        if key in seen:  # replicated over a model axis: one copy is enough
+            continue
+        seen.add(key)
+        parts.append(np.asarray(shard.data))
+    return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def local_device_count() -> int:

@@ -389,6 +389,15 @@ class Trainer:
                 self.state, loss, metrics = self._train_step(self.state, device_batch)
             else:
                 loss, metrics = self._eval_step(self.state, device_batch)
+            if jax.process_count() > 1:
+                # Per-example outputs (logits) are globally sharded and not
+                # addressable from one host; metric calculators pair this
+                # host's slice with its local labels (reference per-rank
+                # metrics + all_reduce semantics), then gather_metrics
+                # averages the epoch values across hosts below.
+                from avex_tpu.parallel import local_array
+
+                metrics = {k: local_array(v) for k, v in metrics.items()}
             tracker.update(loss, metrics, labels=labels)
             if train and (step_idx + 1) % self.params_cfg.log_steps == 0:
                 logger.info(

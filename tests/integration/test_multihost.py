@@ -70,8 +70,49 @@ manager = CheckpointManager(out_dir)
 params = {{"w": np.full((4,), 3.0, np.float32)}}
 manager.save("multihost_ckpt", params=params, step=1, epoch=0)
 
+# --- full Trainer epoch across both processes ---
+# build_dataloaders shards the dataset per process; shard_batch assembles
+# the global batch; epoch metrics sync across hosts; checkpoints save once.
+import os as _os
+_os.environ["AVEX_TPU_DONATE"] = "0"
+from avex_tpu.configs import (
+    DatasetCollectionConfig, DatasetConfig, MeshConfig, ModelSpec, RunConfig,
+    TrainingParams,
+)
+from avex_tpu.data import build_dataloaders
+from avex_tpu.models.factory import build_model_from_spec
+from avex_tpu.training import Trainer
+
+config = RunConfig(
+    model_spec=ModelSpec(
+        name="beats", pretrained=False,
+        init_config={{"encoder_layers": 1, "encoder_embed_dim": 64,
+                      "encoder_ffn_embed_dim": 96, "encoder_attention_heads": 4,
+                      "embed_dim": 32, "dropout": 0.0, "encoder_layerdrop": 0.0}},
+        audio_config={{"representation": "raw", "normalize": False,
+                       "target_length_seconds": 0.5, "window_selection": "random"}},
+    ),
+    training_params=TrainingParams(train_epochs=1, lr=1e-3, batch_size=2),
+    dataset_config=DatasetCollectionConfig(
+        train_datasets=[DatasetConfig(name="mh", kind="synthetic", num_samples=16,
+                                      num_classes=2, clip_seconds=0.5)]
+    ),
+    output_dir=out_dir + "/train",
+    mesh=MeshConfig(data=4, model=1),
+    seed=0,
+    num_workers=0,
+)
+train_loader, _v, _t, _lm, num_classes = build_dataloaders(config)
+model = build_model_from_spec(config.model_spec, num_classes=num_classes)
+trainer = Trainer(model, config, train_loader, mesh=mesh)
+result = trainer.train()
+epoch_metrics = result["history"][0]["train"]
+assert np.isfinite(epoch_metrics["loss"]), epoch_metrics
+
 import json
-print(json.dumps({{"process": process_id, "total": float(total), "loss": metrics["loss"]}}))
+print(json.dumps({{"process": process_id, "total": float(total),
+                   "loss": metrics["loss"],
+                   "epoch_loss": round(float(epoch_metrics["loss"]), 6)}}))
 """
 
 
@@ -104,9 +145,21 @@ def test_two_process_distributed(tmp_path):
     for proc in procs:
         out, err = proc.communicate(timeout=600)
         outs.append((proc.returncode, out, err))
+    import json as _json
+
+    payloads = []
     for rc, out, err in outs:
         assert rc == 0, f"worker failed:\n{err[-4000:]}"
         assert '"loss": 1.5' in out
+        payloads.append(_json.loads(out.strip().splitlines()[-1]))
+    # the jitted loss is a global value: both hosts must report the same
+    # epoch metrics (and the gather keeps them identical post-sync)
+    assert payloads[0]["epoch_loss"] == payloads[1]["epoch_loss"]
+
+    # Trainer artifacts written exactly once (process-0 guards)
+    train_dir = tmp_path / "train"
+    assert (train_dir / "final_model").exists()
+    assert (train_dir / "metadata" / "experiment_metadata.csv").exists()
 
     # exactly one meta.json (process 0), checkpoint restorable
     assert (tmp_path / "multihost_ckpt.meta.json").exists()
