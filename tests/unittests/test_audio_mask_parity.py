@@ -33,6 +33,7 @@ def ref_audio_utils():
     ):
         if mod_name not in sys.modules:
             mod = types.ModuleType(mod_name)
+            mod.__spec__ = importlib.util.spec_from_loader(mod_name, loader=None)
             for key, value in attrs.items():
                 setattr(mod, key, value)
             sys.modules[mod_name] = mod

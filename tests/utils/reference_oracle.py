@@ -8,6 +8,7 @@ strictly as a *behavioral oracle* in tests — avex_tpu contains no code from it
 
 from __future__ import annotations
 
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -42,6 +43,10 @@ def load_reference_atst():
         if mod_name in sys.modules:
             return sys.modules[mod_name]
         mod = types.ModuleType(mod_name)
+        # A real ModuleSpec: modules left in sys.modules with __spec__=None
+        # make importlib.util.find_spec raise for unrelated packages later
+        # (e.g. HF datasets probing for torchvision).
+        mod.__spec__ = importlib.machinery.ModuleSpec(mod_name, loader=None)
         for key, value in attrs.items():
             setattr(mod, key, value)
         sys.modules[mod_name] = mod
@@ -90,6 +95,7 @@ def load_reference_beats():
         return sys.modules[pkg_name]
     root = REFERENCE_ROOT / "avex" / "models" / "beats"
     pkg = types.ModuleType(pkg_name)
+    pkg.__spec__ = importlib.machinery.ModuleSpec(pkg_name, loader=None, is_package=True)
     pkg.__path__ = [str(root)]
     sys.modules[pkg_name] = pkg
     _load_module(f"{pkg_name}.modules", root / "modules.py", pkg_name)
