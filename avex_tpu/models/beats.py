@@ -410,8 +410,27 @@ class BEATsBackbone(nn.Module):
             frame_length_ms=cfg.frame_length,
             frame_shift_ms=cfg.frame_shift,
         )
+        # The fbank's ~1 MB of dense constants (fused framing kernel + mel
+        # bank) live in a non-trainable variable collection so they enter the
+        # program as runtime inputs, not embedded constants — identical
+        # numerics, ~95% smaller compile payload (the remote-compile
+        # transport rejects large bodies).
+        kernel_np, mel_np = fbank.constants()
+        if self.is_initializing() or self.has_variable("constants", "fbank_kernel"):
+            kernel = self.variable(
+                "constants", "fbank_kernel", lambda: jnp.asarray(kernel_np)
+            ).value
+            mel_fb = self.variable("constants", "fbank_mel", lambda: jnp.asarray(mel_np)).value
+        else:
+            # apply() without the collection (hand-built {"params": ...}
+            # dicts, oracle tests): fall back to embedded constants —
+            # identical values either way.
+            kernel, mel_fb = jnp.asarray(kernel_np), jnp.asarray(mel_np)
         # fp32-pinned frontend (beats.py:304-323).
-        feats = beats_fbank(source, cfg.fbank_mean, cfg.fbank_std, fbank=fbank)
+        feats = beats_fbank(
+            source, cfg.fbank_mean, cfg.fbank_std, fbank=fbank,
+            constants=(kernel, mel_fb),
+        )
 
         if padding_mask is not None:
             padding_mask = downsample_padding_mask(padding_mask, feats.shape[1])

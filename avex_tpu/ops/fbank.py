@@ -200,7 +200,24 @@ class KaldiFbank:
         """Number of output frames for a given waveform length."""
         return num_frames(num_samples, self.win_length, self.hop_length)
 
-    def __call__(self, waveforms: jnp.ndarray, precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    def constants(self) -> Tuple[np.ndarray, np.ndarray]:
+        """(conv kernel, mel bank) numpy constants for this configuration.
+
+        Callers embedding the fbank inside a flax module should store these
+        as module *variables* and pass them back via ``__call__``'s
+        ``constants`` argument: as runtime inputs they stay OUT of the
+        serialized program (~1 MB of dense constants otherwise dominates the
+        compile payload — the remote-compile transport rejects large
+        bodies), with bit-identical numerics either way.
+        """
+        return _fbank_constants(self._key)
+
+    def __call__(
+        self,
+        waveforms: jnp.ndarray,
+        precision=jax.lax.Precision.HIGHEST,
+        constants: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
         """Compute log-mel features.
 
         Args:
@@ -208,12 +225,18 @@ class KaldiFbank:
                 parity the caller scales by ``2**15`` first (beats.py:322).
             precision: matmul precision; ``HIGHEST`` reproduces the fp32
                 reference, ``DEFAULT`` trades ~1e-3 drift for ~3x matmul rate.
+            constants: optional (kernel, mel bank) arrays from
+                :meth:`constants`, passed as runtime inputs instead of
+                embedded program constants (identical values/numerics).
 
         Returns:
             ``[B, num_frames, num_mel_bins]`` log-mel features (float32).
         """
-        kernel_np, mel_fb_np = _fbank_constants(self._key)
-        kernel, mel_fb = jnp.asarray(kernel_np), jnp.asarray(mel_fb_np)
+        if constants is None:
+            kernel_np, mel_fb_np = _fbank_constants(self._key)
+            kernel, mel_fb = jnp.asarray(kernel_np), jnp.asarray(mel_fb_np)
+        else:
+            kernel, mel_fb = (jnp.asarray(c, jnp.float32) for c in constants)
         squeeze = waveforms.ndim == 1
         if squeeze:
             waveforms = waveforms[None]
@@ -239,6 +262,7 @@ def beats_fbank(
     fbank_std: float = 6.55582,
     fbank: Optional[KaldiFbank] = None,
     precision=jax.lax.Precision.HIGHEST,
+    constants: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     """BEATs frontend: 2**15 scaling + Kaldi fbank + dataset normalization.
 
@@ -249,7 +273,9 @@ def beats_fbank(
     """
     if fbank is None:
         fbank = KaldiFbank()
-    feats = fbank(waveforms.astype(jnp.float32) * 32768.0, precision=precision)
+    feats = fbank(
+        waveforms.astype(jnp.float32) * 32768.0, precision=precision, constants=constants
+    )
     return (feats - fbank_mean) / (2.0 * fbank_std)
 
 
