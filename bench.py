@@ -55,9 +55,14 @@ def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) 
 
     model = _make_model(dtype_name)
     rng = np.random.default_rng(0)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32)
-    )
+    # Init on the host CPU backend: the init program embeds the fbank
+    # constants and degraded tunnel instances reject large compile bodies;
+    # the forward program receives them as runtime inputs (~0.6 MB).
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32)
+        )
+    variables = jax.device_put(variables, jax.devices()[0])
 
     # The iteration loop runs ON DEVICE (lax.scan over pre-staged batches,
     # one dispatch + one scalar fetch): this measures model throughput, not
