@@ -6,9 +6,9 @@ TPU-first re-design of the reference implementation
 - the Kaldi frontend is the fused single-conv op (`avex_tpu.ops.fbank`),
   pinned to fp32 exactly like the reference (beats.py:304-323);
 - the encoder works in ``[B, T, C]`` throughout (no T-B-C transposes);
-- the T5 relative-position bucket matrix is a trace-time constant
-  (sequence length is static under jit), so only the embedding lookup and the
-  per-layer GRU gate run on device;
+- the T5 relative-position bucket matrix is computed in-graph from iota
+  (an exact twin of the numpy construction, pinned by test), so neither it
+  nor the fbank constants bloat the serialized program;
 - intermediate activations ("hooks") are first-class functional outputs: the
   model returns ``(output, aux)`` where ``aux["intermediates"]`` maps
   reference-compatible layer names (``backbone.post_extract_proj``,
@@ -32,7 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 from pydantic import BaseModel, ConfigDict
 
-from avex_tpu.ops.attention import dot_product_attention, grad_multiply, relative_position_bucket
+from avex_tpu.ops.attention import (
+    dot_product_attention,
+    grad_multiply,
+    relative_position_bucket_jnp,
+)
 from avex_tpu.ops.fbank import KaldiFbank, beats_fbank
 
 __all__ = [
@@ -304,8 +308,11 @@ class _TransformerEncoder(nn.Module):
             table = nn.Embed(
                 cfg.num_buckets, cfg.encoder_attention_heads, name="rel_attn_bias"
             )
-            buckets = jnp.asarray(
-                relative_position_bucket(seq, seq, cfg.num_buckets, cfg.max_distance)
+            # In-graph bucket computation (exact twin of the numpy version,
+            # pinned by test) keeps the ~250 KB dense matrix out of the
+            # serialized compile payload.
+            buckets = relative_position_bucket_jnp(
+                seq, seq, cfg.num_buckets, cfg.max_distance
             )
             # [T, T, H] -> [1, H, T, T]
             position_bias = table(buckets).transpose(2, 0, 1)[None].astype(jnp.float32)

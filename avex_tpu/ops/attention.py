@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["dot_product_attention", "relative_position_bucket", "grad_multiply"]
+__all__ = ["dot_product_attention", "relative_position_bucket", "relative_position_bucket_jnp", "grad_multiply"]
 
 
 def dot_product_attention(
@@ -97,6 +97,46 @@ def relative_position_bucket(
     large = np.minimum(large, num_buckets - 1)
     buckets += np.where(is_small, rel, large)
     return buckets.astype(np.int32)
+
+
+def relative_position_bucket_jnp(
+    query_length: int,
+    key_length: int,
+    num_buckets: int = 320,
+    max_distance: int = 800,
+    bidirectional: bool = True,
+) -> jnp.ndarray:
+    """In-graph twin of :func:`relative_position_bucket` (same math, jnp ops).
+
+    The dense ``[T, T]`` int32 matrix is ~250 KB at BEATs shapes; computing
+    it from iota inside the program keeps it out of the serialized compile
+    payload (degraded remote-compile transports reject large bodies).
+    Exact-match with the numpy version is pinned by a test across lengths —
+    the log-bucket boundaries land identically because both compute the
+    ratio in float32.
+    """
+    context = jax.lax.iota(jnp.int32, query_length)[:, None]
+    memory = jax.lax.iota(jnp.int32, key_length)[None, :]
+    rel = memory - context
+
+    buckets = jnp.zeros_like(rel)
+    if bidirectional:
+        num_buckets //= 2
+        buckets += (rel > 0).astype(jnp.int32) * num_buckets
+        rel = jnp.abs(rel)
+    else:
+        rel = -jnp.minimum(rel, 0)
+
+    max_exact = num_buckets // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / max_exact)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    large = jnp.minimum(large, num_buckets - 1)
+    buckets += jnp.where(is_small, rel, large)
+    return buckets.astype(jnp.int32)
 
 
 @jax.custom_vjp

@@ -77,3 +77,18 @@ def test_fp32_ignores_auto_fast_attention(rng):
     out_auto, _ = model_auto.apply(variables, wav)
     out_off, _ = BEATsBackbone(cfg=cfg_off, dtype=jnp.float32).apply(variables, wav)
     np.testing.assert_array_equal(np.asarray(out_auto), np.asarray(out_off))
+
+
+def test_relative_position_bucket_jnp_matches_numpy():
+    """The in-graph bucket computation must be an exact twin of the numpy
+    version at every length (it feeds the shared T5 bias table; a flipped
+    bucket is a silent numerics change)."""
+    from avex_tpu.ops.attention import (
+        relative_position_bucket,
+        relative_position_bucket_jnp,
+    )
+
+    for t in (4, 97, 248, 496, 1024):
+        expected = relative_position_bucket(t, t)
+        got = np.asarray(jax.jit(lambda t=t: relative_position_bucket_jnp(t, t))())
+        np.testing.assert_array_equal(got, expected)
