@@ -69,8 +69,11 @@ def list_models_cmd() -> None:
 @click.option("--clip-seconds", default=5.0, type=float,
               help="fixed window length (center crop/pad)")
 @click.option("--random-weights", is_flag=True, help="skip checkpoint download (offline)")
+@click.option("--npy-sr", type=int, default=None,
+              help=".npy inputs are assumed to already be at the model's sample "
+                   "rate; pass their actual rate here to resample them")
 def embed(model_name, input_path, output_path, layers, aggregation,
-          batch_size, clip_seconds, random_weights) -> None:
+          batch_size, clip_seconds, random_weights, npy_sr) -> None:
     """Embed audio files into an HDF5 cache (the most common one-off task:
     point a model at a directory, get layer-wise embeddings out)."""
     import json
@@ -103,6 +106,8 @@ def embed(model_name, input_path, output_path, layers, aggregation,
             for path in files[start : start + batch_size]:
                 if path.suffix == ".npy":
                     wav = np.load(path).astype(np.float32).reshape(-1)
+                    if npy_sr and npy_sr != sr:
+                        wav = resample(wav, npy_sr, sr)
                 else:
                     wav, file_sr = decode_audio(str(path), mono=True)
                     if file_sr != sr:

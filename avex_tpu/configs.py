@@ -570,10 +570,9 @@ class RunConfig(BaseCLIConfig):
     label_type: Literal["supervised", "text", "self_supervised"] = "supervised"
     resume_from_checkpoint: Optional[str] = None
     #: Periodic checkpoint cadence in epochs (reference ``checkpoint_freq``,
-    #: train.py:450-453; their default 1 saves every epoch). 0 disables —
-    #: Orbax checkpoints carry full optimizer state, so per-epoch saves are
-    #: opt-in here.
-    checkpoint_freq: int = 0
+    #: train.py:450-453). Default 1 matches reference semantics — configs
+    #: that rely on the default keep their per-epoch checkpoints; 0 disables.
+    checkpoint_freq: int = 1
 
     # TPU-native distribution: a mesh instead of nccl process groups.
     distributed: bool = False

@@ -170,12 +170,22 @@ class Model(ModelBase):
             self._layer_names = ["embeddings"]
 
     def _chunk(self, clip: np.ndarray) -> np.ndarray:
-        """Pad/window one waveform into the model's fixed input length
-        (reference pads short clips to CHUNK_SEC, birdnet.py:343-347)."""
+        """Pad/window one waveform into the model's fixed input length.
+
+        Short clips are right-padded to CHUNK_SEC (reference
+        birdnet.py:343-347); a trailing partial window is padded and analyzed
+        as a final chunk, matching birdnetlib's chunking — dropping it would
+        lose e.g. the last second of a 7 s clip.
+        """
         n = self._backend.input_samples
         if len(clip) < n:
             clip = np.pad(clip, (0, n - len(clip)))
-        windows = [clip[i : i + n] for i in range(0, max(len(clip) - n, 0) + 1, n)]
+        windows = []
+        for i in range(0, len(clip), n):
+            w = clip[i : i + n]
+            if len(w) < n:
+                w = np.pad(w, (0, n - len(w)))
+            windows.append(w)
         return np.stack(windows)
 
     def forward(self, x, padding_mask=None):

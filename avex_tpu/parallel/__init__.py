@@ -197,18 +197,66 @@ def local_array(x: Any) -> Any:
     """
     if not hasattr(x, "is_fully_addressable") or x.is_fully_addressable:
         return x
-    shards = sorted(
-        x.addressable_shards, key=lambda s: (s.index[0].start or 0) if s.index else 0
-    )
-    seen = set()
-    parts = []
-    for shard in shards:
-        key = tuple((sl.start, sl.stop) for sl in shard.index)
-        if key in seen:  # replicated over a model axis: one copy is enough
-            continue
-        seen.add(key)
-        parts.append(np.asarray(shard.data))
-    return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    # Distinct blocks this host holds, keyed by their full global index
+    # (replicas — e.g. over a model axis — collapse to one copy).
+    blocks: dict = {}
+    for shard in x.addressable_shards:
+        key = tuple(
+            (0 if sl.start is None else sl.start, dim if sl.stop is None else sl.stop)
+            for sl, dim in zip(shard.index, x.shape)
+        )
+        if key not in blocks:
+            blocks[key] = np.asarray(shard.data)
+    return stitch_local_blocks(blocks, x.shape, x.dtype)
+
+
+def stitch_local_blocks(blocks: dict, shape: tuple, dtype: Any) -> np.ndarray:
+    """Assemble this host's shard blocks into one dense local array.
+
+    ``blocks`` maps per-axis ``(start, stop)`` global-index tuples to numpy
+    data. Stitches along EVERY sharded axis, not just axis 0: under a
+    model-axis mesh a tensor can be sharded on a trailing axis (e.g. logits
+    on the class axis), and stacking those blocks as extra rows would
+    silently corrupt metric/label pairing. Each axis's distinct start
+    offsets map to local positions; blocks scatter into a dense buffer.
+    """
+    if len(blocks) == 1:
+        return next(iter(blocks.values()))
+    ndim = len(shape)
+    axis_offsets = []
+    for d in range(ndim):
+        extents = {}  # global start -> extent
+        for key in blocks:
+            start, stop = key[d]
+            prev = extents.setdefault(start, stop - start)
+            if prev != stop - start:
+                raise ValueError(
+                    f"local_array: ragged shards along axis {d} of {shape}"
+                )
+        starts = sorted(extents)
+        offsets, pos = {}, 0
+        for s in starts:
+            offsets[s] = pos
+            pos += extents[s]
+        axis_offsets.append((offsets, pos))
+    local_shape = tuple(total for _offs, total in axis_offsets)
+    expect = int(np.prod([len(offs) for offs, _total in axis_offsets]))
+    if len(blocks) != expect:
+        raise ValueError(
+            "local_array: addressable shards do not tile a dense grid "
+            f"({len(blocks)} blocks vs {expect} grid cells for {shape})"
+        )
+    out = np.empty(local_shape, dtype=dtype)
+    for key, data in blocks.items():
+        slices = tuple(
+            slice(
+                axis_offsets[d][0][key[d][0]],
+                axis_offsets[d][0][key[d][0]] + data.shape[d],
+            )
+            for d in range(ndim)
+        )
+        out[slices] = data
+    return out
 
 
 def local_device_count() -> int:

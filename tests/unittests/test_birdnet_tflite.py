@@ -96,6 +96,26 @@ def test_model_wrapper_chunks_pads_and_aggregates(tmp_path, rng):
     assert per_window.shape == (1, 2, EMB_DIM)
 
 
+def test_chunk_keeps_trailing_partial_window(tmp_path, rng):
+    """A clip with a trailing remainder gets a final zero-padded window —
+    birdnetlib analyzes the partial last chunk instead of dropping it."""
+    model = _tiny_keras(two_outputs=False)
+    wrapper = Model(model_path=_to_tflite(model, tmp_path, "m.tflite"))
+
+    tail = INPUT_LEN // 3
+    clip = rng.standard_normal(2 * INPUT_LEN + tail).astype(np.float32)
+    windows = wrapper._chunk(clip)
+    assert windows.shape == (3, INPUT_LEN)
+    np.testing.assert_array_equal(windows[0], clip[:INPUT_LEN])
+    np.testing.assert_array_equal(windows[1], clip[INPUT_LEN : 2 * INPUT_LEN])
+    np.testing.assert_array_equal(windows[2][:tail], clip[2 * INPUT_LEN :])
+    np.testing.assert_array_equal(windows[2][tail:], 0)
+
+    # Exact multiples still produce exactly len/n windows (no empty tail).
+    assert wrapper._chunk(clip[: 2 * INPUT_LEN]).shape == (2, INPUT_LEN)
+    assert wrapper._chunk(clip[:INPUT_LEN]).shape == (1, INPUT_LEN)
+
+
 def test_missing_backends_raise_clear_error():
     with pytest.raises(ImportError, match="birdnetlib"):
         Model()

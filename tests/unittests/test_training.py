@@ -444,3 +444,56 @@ def test_checkpoint_freq_config_wires_periodic_saves(tmp_path):
     out = Path(config.output_dir)
     assert (out / "checkpoint_epoch_1.meta.json").exists()
     assert (out / "final_model").exists()
+
+
+def test_stitch_local_blocks_row_sharded():
+    """DP layout: blocks sharded on axis 0 concatenate in row order."""
+    from avex_tpu.parallel import stitch_local_blocks
+
+    full = np.arange(24, dtype=np.float32).reshape(6, 4)
+    blocks = {
+        ((0, 3), (0, 4)): full[0:3],
+        ((3, 6), (0, 4)): full[3:6],
+    }
+    np.testing.assert_array_equal(stitch_local_blocks(blocks, (6, 4), full.dtype), full)
+
+
+def test_stitch_local_blocks_class_axis_sharded():
+    """Model-axis layout: blocks sharded on the trailing (class) axis must be
+    stitched along that axis, not stacked as extra rows (the silent-corruption
+    mode the round-2 advisor flagged)."""
+    from avex_tpu.parallel import stitch_local_blocks
+
+    full = np.arange(24, dtype=np.float32).reshape(4, 6)
+    blocks = {
+        ((0, 4), (0, 3)): full[:, 0:3],
+        ((0, 4), (3, 6)): full[:, 3:6],
+    }
+    out = stitch_local_blocks(blocks, (4, 6), full.dtype)
+    assert out.shape == (4, 6)
+    np.testing.assert_array_equal(out, full)
+
+
+def test_stitch_local_blocks_2d_grid():
+    """data x model grid sharding reassembles the full 2-D block grid."""
+    from avex_tpu.parallel import stitch_local_blocks
+
+    full = np.arange(48, dtype=np.float32).reshape(6, 8)
+    blocks = {
+        ((0, 3), (0, 4)): full[0:3, 0:4],
+        ((0, 3), (4, 8)): full[0:3, 4:8],
+        ((3, 6), (0, 4)): full[3:6, 0:4],
+        ((3, 6), (4, 8)): full[3:6, 4:8],
+    }
+    np.testing.assert_array_equal(stitch_local_blocks(blocks, (6, 8), full.dtype), full)
+
+
+def test_stitch_local_blocks_rejects_ragged_grid():
+    from avex_tpu.parallel import stitch_local_blocks
+
+    blocks = {
+        ((0, 3), (0, 4)): np.zeros((3, 4), np.float32),
+        ((3, 6), (4, 8)): np.zeros((3, 4), np.float32),
+    }
+    with pytest.raises(ValueError, match="dense grid"):
+        stitch_local_blocks(blocks, (6, 8), np.float32)
