@@ -17,9 +17,25 @@ REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
 @pytest.mark.integration
-def test_dryrun_multichip_direct_import():
+def test_dryrun_supervised_cell_direct_import():
     """In-process call: conftest already pinned an 8-device CPU topology, so
-    this exercises the fast path (no subprocess)."""
+    this exercises the fast path (no subprocess). Runs the supervised DP×TP
+    cell only — the full 4-cell matrix lives in the slow tier below."""
+    sys.path.insert(0, str(REPO_ROOT))
+    try:
+        from __graft_entry__ import _dryrun_supervised_tp
+
+        summary = _dryrun_supervised_tp(8)
+        assert "supervised" in summary
+    finally:
+        sys.path.remove(str(REPO_ROOT))
+
+
+@pytest.mark.integration
+@pytest.mark.slow
+def test_dryrun_multichip_direct_import_full_matrix():
+    """The full parallelism matrix (supervised DP×TP, FSDP×TP, CLIP
+    all-gather, EAT-SSL EMA) in-process — exactly the driver's gate."""
     sys.path.insert(0, str(REPO_ROOT))
     try:
         from __graft_entry__ import dryrun_multichip
