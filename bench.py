@@ -3,23 +3,37 @@
 Measures the north-star metric from BASELINE.json: full-size (12-layer, 768-d)
 BEATs forward over 5s @ 16 kHz clips on one TPU chip.
 
-Variants reported in the single JSON line:
-  - value / vs_baseline: fp32 params, HIGHEST-precision frontend (the exact
-    numeric configuration the parity/fingerprint tests validate) at the
-    default batch — the apples-to-apples headline.
-  - bf16_clips_per_sec: bfloat16 compute dtype (frontend stays fp32-pinned).
-  - sweep: clips/sec at additional batch sizes (AVEX_BENCH_SWEEP, comma list).
-  - mfu_pct / bf16_mfu_pct: model FLOP utilization from XLA's own
-    cost-analysis FLOP count against the chip's peak (AVEX_TPU_PEAK_TFLOPS,
-    default 197 = v5e bf16 peak; fp32 MFU uses the same denominator, i.e. a
-    lower bound).
-  - wav_loader_clips_per_sec: WAV files on disk through the multi-worker
-    loader (decode + collate) — the "is the loader the bottleneck?" number;
-    loader_bound flags when it falls below device throughput. (A combined
-    number is meaningless on the remote-TPU tunnel used here: per-batch
-    transfers are RPC-transport-bound in a way no real TPU host is.)
+The single JSON line reports the BEST CORRECT configuration as the headline
+(round-2 verdict: the number the rounds are judged on should be the best
+correct path, with fp32-parity as a secondary field):
 
-The CPU baseline is the reference torch implementation measured on this host
+  - value / mfu_pct / vs_baseline: bfloat16 compute (frontend stays
+    fp32-pinned exactly like the reference, beats.py:304-323; softmax runs
+    in bf16 via the auto `fast_attention` policy) at the default batch.
+  - fp32_parity_clips_per_sec / fp32_parity_mfu_pct: the fp32
+    HIGHEST-precision configuration the parity/fingerprint tests validate.
+  - bf16_fp32_rel_err: relative L2 distance between the two paths' pooled
+    768-d embeddings on the same batch — the in-bench proof that the
+    headline path stays within fp32 tolerance (observed ~3e-3, the bf16
+    representation floor; fingerprint-grade comparisons live in the test
+    suite).
+  - train_clips_per_sec / train_mfu_pct: full supervised train step
+    (527-class AdamW, value_and_grad, donated buffers) in bf16.
+  - wav_loader_clips_per_sec: WAV files on disk through the multi-worker
+    loader (decode + collate) — host side only; loader_clips_per_sec adds
+    the device_put staging hop. On the remote-TPU tunnel used here the
+    staging hop is RPC-transport-bound (~41 MB/batch over the wire) in a
+    way no real TPU host is; loader_bound flags when the host pipeline
+    falls below device throughput.
+  - sweep: clips/sec at additional batch sizes (AVEX_BENCH_SWEEP, comma
+    list; empty default — the budget is better spent on the train phase).
+  - MFU numbers use XLA's own cost-analysis FLOP count against the chip's
+    peak (AVEX_TPU_PEAK_TFLOPS, default 197 = v5e bf16 peak; fp32 MFU uses
+    the same denominator, i.e. a lower bound).
+
+Every phase after the headline is wrapped so a mid-run tunnel degradation
+still lands the one JSON line (with whatever fields completed). The CPU
+baseline is the reference torch implementation measured on this host
 (override with AVEX_CPU_BASELINE to skip the torch run).
 
 Prints ONE JSON line:
@@ -35,18 +49,43 @@ import numpy as np
 
 CLIP_SECONDS = 5
 SR = 16000
+NUM_TRAIN_CLASSES = 527  # AudioSet-sized classifier, the reference's default
 
 
-def _make_model(dtype_name: str):
+def _make_model(dtype_name: str, num_classes=None):
     import jax.numpy as jnp
 
-    from avex_tpu.models.beats import BEATsBackbone, BEATsConfig
+    from avex_tpu.models.beats import BEATsBackbone, BEATsConfig, BEATsModel
 
     cfg = BEATsConfig(
         dropout=0.0, attention_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0
     )
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
+    if num_classes is not None:
+        return BEATsModel(cfg=cfg, num_classes=num_classes, dtype=dtype)
     return BEATsBackbone(cfg=cfg, dtype=dtype)
+
+
+def _init_on_host(model, example):
+    """Init on the host CPU backend: the init program embeds the fbank
+    constants and degraded tunnel instances reject large compile bodies;
+    compute programs receive them as runtime inputs (~0.6 MB)."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), example)
+    return jax.device_put(variables, jax.devices()[0])
+
+
+def _flops_of(compiled) -> float:
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    return float(cost.get("flops", 0.0))
+
+
+def _peak_flops() -> float:
+    return float(os.environ.get("AVEX_TPU_PEAK_TFLOPS", "197")) * 1e12
 
 
 def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) -> dict:
@@ -55,14 +94,7 @@ def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) 
 
     model = _make_model(dtype_name)
     rng = np.random.default_rng(0)
-    # Init on the host CPU backend: the init program embeds the fbank
-    # constants and degraded tunnel instances reject large compile bodies;
-    # the forward program receives them as runtime inputs (~0.6 MB).
-    with jax.default_device(jax.devices("cpu")[0]):
-        variables = jax.jit(model.init)(
-            jax.random.PRNGKey(0), jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32)
-        )
-    variables = jax.device_put(variables, jax.devices()[0])
+    variables = _init_on_host(model, jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32))
 
     # The iteration loop runs ON DEVICE (lax.scan over pre-staged batches,
     # one dispatch + one scalar fetch): this measures model throughput, not
@@ -84,21 +116,21 @@ def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) 
     compiled = jax.jit(scan_forward).lower(variables, stacked).compile()
     # FLOPs from XLA's own cost model — measured on a single un-scanned
     # forward (XLA's analysis counts a while/scan body once, not ×trip-count)
-    # and scaled by iters.
+    # and scaled by iters. The same program returns the pooled 768-d
+    # embedding for the bf16-vs-fp32 parity field.
     flops_per_run = None
+    pooled = None
     try:
         single = (
-            jax.jit(lambda v, w: model.apply(v, w)[0].astype(jnp.float32).mean())
+            jax.jit(lambda v, w: model.apply(v, w)[0].astype(jnp.float32).mean(axis=(0, 1)))
             .lower(variables, stacked[0])
             .compile()
         )
-        cost = single.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops = float(cost.get("flops", 0.0))
+        flops = _flops_of(single)
         flops_per_run = flops * iters if flops > 0 else None
-    except Exception:
-        pass
+        pooled = np.asarray(single(variables, stacked[0]))
+    except Exception as err:
+        print(f"# cost-analysis/pooled probe failed: {err}", file=sys.stderr)
 
     float(compiled(variables, stacked))  # warmup
     best = float("inf")
@@ -112,22 +144,104 @@ def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) 
         "iters": iters,
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
+        "pooled": pooled,
     }
     if flops_per_run:
-        peak = float(os.environ.get("AVEX_TPU_PEAK_TFLOPS", "197")) * 1e12
-        out["mfu_pct"] = 100.0 * (flops_per_run / best) / peak
+        out["mfu_pct"] = 100.0 * (flops_per_run / best) / _peak_flops()
         out["tflops_per_sec"] = flops_per_run / best / 1e12
     return out
 
 
-def _measure_wav_loader(batch_size: int, num_batches: int = 8, num_workers: int = -1) -> dict:
-    """WAV files on disk → multi-worker loader → host batches (no device).
+def _measure_train(batch_size: int, dtype_name: str = "bfloat16", iters: int = 6) -> dict:
+    """Full supervised train step: forward + backward + AdamW update.
+
+    The reference workload this quantifies is Trainer._run_epoch's hot loop
+    (reference train.py:255-338). Buffers are donated (params/opt state
+    update in place); the timed loop chains donated outputs so each call
+    consumes the previous call's state, and the scan keeps the whole epoch
+    slice on device.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    model = _make_model(dtype_name, num_classes=NUM_TRAIN_CLASSES)
+    rng = np.random.default_rng(1)
+    variables = _init_on_host(model, jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32))
+    params = variables["params"]
+    consts = {k: v for k, v in variables.items() if k != "params"}
+
+    tx = optax.adamw(1e-4, weight_decay=0.01)
+    opt_state = jax.jit(tx.init)(params)
+
+    def loss_fn(p, wav, labels):
+        logits, _aux = model.apply({"params": p, **consts}, wav)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), labels
+        ).mean()
+
+    def train_step(p, opt_state, wav, labels):
+        loss, grads = jax.value_and_grad(loss_fn)(p, wav, labels)
+        updates, opt_state = tx.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    def train_scan(p, opt_state, wavs, labels):
+        def body(carry, xs):
+            p, o = carry
+            new_p, new_o, loss = train_step(p, o, xs[0], xs[1])
+            return (new_p, new_o), loss
+
+        (p, opt_state), losses = jax.lax.scan(body, (p, opt_state), (wavs, labels))
+        return p, opt_state, losses.mean()
+
+    wavs = jnp.asarray(
+        (rng.standard_normal((iters, batch_size, CLIP_SECONDS * SR)) * 0.1).astype(np.float32)
+    )
+    labels = jnp.asarray(rng.integers(0, NUM_TRAIN_CLASSES, (iters, batch_size)))
+
+    compiled = jax.jit(train_scan, donate_argnums=(0, 1)).lower(
+        params, opt_state, wavs, labels
+    ).compile()
+    flops_per_run = None
+    try:
+        single = jax.jit(train_step).lower(params, opt_state, wavs[0], labels[0]).compile()
+        flops = _flops_of(single)
+        flops_per_run = flops * iters if flops > 0 else None
+    except Exception as err:
+        print(f"# train cost-analysis failed: {err}", file=sys.stderr)
+
+    p, o, loss = compiled(params, opt_state, wavs, labels)
+    float(loss)  # warmup + sync
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        p, o, loss = compiled(p, o, wavs, labels)
+        float(loss)
+        best = min(best, time.perf_counter() - t0)
+    out = {
+        "clips_per_sec": batch_size * iters / best,
+        "batch_size": batch_size,
+        "loss": float(loss),
+    }
+    if flops_per_run:
+        out["mfu_pct"] = 100.0 * (flops_per_run / best) / _peak_flops()
+        out["tflops_per_sec"] = flops_per_run / best / 1e12
+    return out
+
+
+def _measure_wav_loader(
+    batch_size: int, num_batches: int = 8, num_workers: int = -1, device_put: bool = False
+) -> dict:
+    """WAV files on disk → multi-worker loader → host batches (→ device).
 
     The loader-side half of the pipeline: decode + resample + collate
-    throughput. Loader clips/s must exceed device clips/s for the device to
-    stay fed; the combined number on this host is transport-bound (the
-    remote-TPU tunnel moves ~41 MB/batch over RPC), so loader and device
-    throughputs are reported separately.
+    throughput, optionally plus the device_put staging hop
+    (``loader_clips_per_sec``). Host loader clips/s must exceed device
+    clips/s for the device to stay fed. On this dev host both caveats from
+    CLAUDE.md apply: ONE core (workers are pure overhead — real TPU hosts
+    have dozens, so host throughput scales ~linearly with cores) and the
+    remote-TPU tunnel makes device_put RPC-transport-bound (~41 MB/batch
+    over the wire; a local PCIe/ICI host does this at >10 GB/s).
     """
     import csv
     import tempfile
@@ -170,10 +284,28 @@ def _measure_wav_loader(batch_size: int, num_batches: int = 8, num_workers: int 
     t0 = time.perf_counter()
     count = sum(batch["raw_wav"].shape[0] for batch in loader)
     elapsed = time.perf_counter() - t0
+    out = {
+        "clips_per_sec": count / elapsed,
+        "clips": count,
+        "num_workers": num_workers,
+        "host_cores": os.cpu_count(),
+    }
+    if device_put:
+        import jax
+
+        device = jax.devices()[0]
+        t0 = time.perf_counter()
+        staged = 0
+        for batch in loader:
+            x = jax.device_put(np.ascontiguousarray(batch["raw_wav"]), device)
+            staged += x.shape[0]
+        # Sync: fetch one scalar from the last staged batch.
+        float(np.asarray(x)[0, 0])
+        out["device_put_clips_per_sec"] = staged / (time.perf_counter() - t0)
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
-    return {"clips_per_sec": count / elapsed, "clips": count, "num_workers": num_workers, "host_cores": os.cpu_count()}
+    return out
 
 
 def _measure_cpu_reference(batch_size: int = 4, iters: int = 3) -> float:
@@ -208,75 +340,123 @@ def _measure_cpu_reference(batch_size: int = 4, iters: int = 3) -> float:
 
 def main() -> None:
     batch = int(os.environ.get("AVEX_BENCH_BATCH", "128"))
-    # Wall-clock budget: optional phases (bf16, sweep, wav loader) are skipped
-    # once exceeded so the headline JSON line always lands — cold compiles
-    # through the remote-TPU tunnel can take minutes each.
-    budget_s = float(os.environ.get("AVEX_BENCH_BUDGET_S", "420"))
+    train_batch = int(os.environ.get("AVEX_BENCH_TRAIN_BATCH", "128"))
+    # Wall-clock budget: optional phases (train, fp32 parity, sweep, wav
+    # loader) are skipped once exceeded so the headline JSON line always
+    # lands — cold compiles through the remote-TPU tunnel can take minutes.
+    # (600 s fits all phases on a healthy tunnel: measured ~7 min total for
+    # bf16 + train + fp32 + loader + cpu reference.)
+    budget_s = float(os.environ.get("AVEX_BENCH_BUDGET_S", "600"))
     t_start = time.perf_counter()
 
     def in_budget() -> bool:
         return time.perf_counter() - t_start < budget_s
 
+    # ---- headline: bf16 + auto fast_attention (best correct path) --------
+    headline = None
+    headline_precision = "bfloat16"
     try:
-        f32 = _measure_tpu(batch_size=batch, dtype_name="float32")
+        headline = _measure_tpu(batch_size=batch, dtype_name="bfloat16")
     except Exception as first_err:
         # One retry after a pause: the remote-TPU tunnel intermittently
         # degrades (hangs / HTTP 413 from the compile proxy) and recovers.
-        print(f"# fp32 measure failed ({first_err}); retrying in 60s", file=sys.stderr)
+        print(f"# bf16 measure failed ({first_err}); retrying in 60s", file=sys.stderr)
         time.sleep(60)
         try:
-            f32 = _measure_tpu(batch_size=batch, dtype_name="float32")
-        except Exception as err:
-            # Emit a parseable line so the driver records the cause instead
-            # of an empty file; value null marks "not measured", not zero.
-            print(json.dumps({
-                "metric": "beats_embedding_extraction_5s16k",
-                "value": None,
-                "unit": "clips/sec/chip",
-                "vs_baseline": None,
-                "error": f"TPU unavailable: {err}"[:300],
-            }))
-            return
+            headline = _measure_tpu(batch_size=batch, dtype_name="bfloat16")
+        except Exception as second_err:
+            print(f"# bf16 retry failed ({second_err}); trying fp32", file=sys.stderr)
+            try:
+                headline = _measure_tpu(batch_size=batch, dtype_name="float32")
+                headline_precision = "float32"
+            except Exception as err:
+                # Emit a parseable line so the driver records the cause
+                # instead of an empty file; value null marks "not measured".
+                print(json.dumps({
+                    "metric": "beats_embedding_extraction_5s16k",
+                    "value": None,
+                    "unit": "clips/sec/chip",
+                    "vs_baseline": None,
+                    "error": f"TPU unavailable: {err}"[:300],
+                }))
+                return
     result = {
         "metric": "beats_embedding_extraction_5s16k",
-        "value": round(f32["clips_per_sec"], 2),
+        "value": round(headline["clips_per_sec"], 2),
         "unit": "clips/sec/chip",
-        "batch_size": f32["batch_size"],
-        "backend": f32["backend"],
-        "device": f32["device"],
+        "precision": headline_precision,
+        "batch_size": headline["batch_size"],
+        "backend": headline["backend"],
+        "device": headline["device"],
     }
-    if "mfu_pct" in f32:
-        result["mfu_pct"] = round(f32["mfu_pct"], 2)
-        result["tflops_per_sec"] = round(f32["tflops_per_sec"], 2)
+    if "mfu_pct" in headline:
+        result["mfu_pct"] = round(headline["mfu_pct"], 2)
+        result["tflops_per_sec"] = round(headline["tflops_per_sec"], 2)
 
-    if os.environ.get("AVEX_BENCH_BF16", "1") == "1" and in_budget():
-        bf16 = _measure_tpu(batch_size=batch, dtype_name="bfloat16")
-        result["bf16_clips_per_sec"] = round(bf16["clips_per_sec"], 2)
-        if "mfu_pct" in bf16:
-            result["bf16_mfu_pct"] = round(bf16["mfu_pct"], 2)
+    # ---- training throughput (bf16 train step, donated buffers) ----------
+    if os.environ.get("AVEX_BENCH_TRAIN", "1") == "1" and in_budget():
+        try:
+            train = _measure_train(batch_size=train_batch)
+            result["train_clips_per_sec"] = round(train["clips_per_sec"], 2)
+            result["train_batch_size"] = train["batch_size"]
+            if "mfu_pct" in train:
+                result["train_mfu_pct"] = round(train["mfu_pct"], 2)
+                result["train_tflops_per_sec"] = round(train["tflops_per_sec"], 2)
+        except Exception as err:
+            print(f"# train bench failed: {err}", file=sys.stderr)
 
-    sweep = os.environ.get("AVEX_BENCH_SWEEP", "256")
+    # ---- fp32 parity path (the configuration the parity tests validate) --
+    if headline_precision == "bfloat16" and in_budget():
+        try:
+            f32 = _measure_tpu(batch_size=batch, dtype_name="float32")
+            result["fp32_parity_clips_per_sec"] = round(f32["clips_per_sec"], 2)
+            if "mfu_pct" in f32:
+                result["fp32_parity_mfu_pct"] = round(f32["mfu_pct"], 2)
+            if headline.get("pooled") is not None and f32.get("pooled") is not None:
+                a, b = headline["pooled"], f32["pooled"]
+                result["bf16_fp32_rel_err"] = round(
+                    float(np.linalg.norm(a - b) / np.linalg.norm(b)), 6
+                )
+        except Exception as err:
+            print(f"# fp32 parity bench failed: {err}", file=sys.stderr)
+
+    # ---- batch sweep (opt-in) --------------------------------------------
+    sweep = os.environ.get("AVEX_BENCH_SWEEP", "")
     if sweep and in_budget():
         result["sweep"] = {}
         for b in (int(x) for x in sweep.split(",") if x.strip()):
             if b != batch and in_budget():
-                result["sweep"][str(b)] = round(
-                    _measure_tpu(batch_size=b, dtype_name="float32", iters=6)["clips_per_sec"], 2
-                )
+                try:
+                    result["sweep"][str(b)] = round(
+                        _measure_tpu(batch_size=b, dtype_name="bfloat16", iters=6)[
+                            "clips_per_sec"
+                        ],
+                        2,
+                    )
+                except Exception as err:
+                    print(f"# sweep b={b} failed: {err}", file=sys.stderr)
+                    break
 
+    # ---- host data path --------------------------------------------------
     if os.environ.get("AVEX_BENCH_WAV", "1") == "1" and in_budget():
         try:
-            wav = _measure_wav_loader(batch_size=batch)
+            wav = _measure_wav_loader(batch_size=batch, device_put=True)
             result["wav_loader_clips_per_sec"] = round(wav["clips_per_sec"], 2)
-            result["loader_bound"] = wav["clips_per_sec"] < f32["clips_per_sec"]
+            if "device_put_clips_per_sec" in wav:
+                result["loader_clips_per_sec"] = round(wav["device_put_clips_per_sec"], 2)
+            result["loader_bound"] = wav["clips_per_sec"] < headline["clips_per_sec"]
             result["loader_workers"] = wav["num_workers"]
             result["host_cores"] = wav["host_cores"]
         except Exception as err:  # pragma: no cover
             print(f"# wav loader bench failed: {err}", file=sys.stderr)
 
-    cpu_clips_per_sec = _measure_cpu_reference()
+    try:
+        cpu_clips_per_sec = _measure_cpu_reference()
+    except Exception as err:
+        print(f"# cpu reference failed: {err}; using recorded 2.0", file=sys.stderr)
+        cpu_clips_per_sec = 2.0
     result["cpu_reference_clips_per_sec"] = round(cpu_clips_per_sec, 2)
-    result["vs_baseline"] = round(f32["clips_per_sec"] / cpu_clips_per_sec, 2)
+    result["vs_baseline"] = round(headline["clips_per_sec"] / cpu_clips_per_sec, 2)
     print(json.dumps(result))
 
 
