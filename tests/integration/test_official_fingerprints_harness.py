@@ -79,6 +79,28 @@ def test_checksum_table_covers_all_official_models():
     assert set(OFFICIAL_MODEL_CHECKSUMS) == set(OFFICIAL_MODELS)
 
 
+def test_parity_harness_dry_run_exercises_conversion(tmp_path):
+    """The one-command harness (scripts/official_parity_harness.py --dry-run)
+    exercises everything but the download: synthesized reference-named BEATs
+    safetensors → universal_load → converter → forward → fingerprint table,
+    checked against the torch oracle at fingerprint tolerance."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(0, str(_Path(__file__).resolve().parents[2] / "scripts"))
+    try:
+        import official_parity_harness as harness
+    finally:
+        _sys.path.pop(0)
+
+    rc = harness.main(
+        ["--dry-run", "--models", "esp_aves2_sl_beats_all", "--workdir", str(tmp_path)]
+    )
+    assert rc == 0
+    # The synthesized checkpoint actually hit the conversion path.
+    assert (tmp_path / "esp_aves2_sl_beats_all.safetensors").exists()
+
+
 @requires_network
 @pytest.mark.parametrize("model_name", sorted(OFFICIAL_MODELS))
 def test_official_checkpoint_checksum(model_name):
@@ -138,7 +160,7 @@ def test_official_beats_pooled_parity_vs_torch_oracle(model_name):
     ref = load_reference_beats()
     init = entry["model_spec"]["init_config"]
     cfg = ref.beats.BEATsConfig(
-        {k: v for k, v in init.items() if hasattr(ref.beats.BEATsConfig(), k)}
+        **{k: v for k, v in init.items() if hasattr(ref.beats.BEATsConfig(), k)}
     )
     oracle = ref.beats.BEATs(cfg).eval()
     torch_state = {k: torch.from_numpy(np.asarray(v)) for k, v in state.items()}
