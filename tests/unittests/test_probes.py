@@ -158,3 +158,80 @@ def test_learned_weights_table(rng):
         ProbeConfig(probe_type="linear"), num_classes=3, input_dim=8
     )
     assert "does not use weighted sum" in single.get_learned_weights_table()
+
+
+def test_frozen_backbone_gets_zero_gradients(rng):
+    """Gradient-flow contract: with freeze_backbone=True the backbone sits
+    behind stop_gradient (finetune.py:124-125) — its grads are exactly zero
+    even if its params are (wrongly) handed to the optimizer — and the
+    FineTuneTrainer excludes it from the trainable tree structurally."""
+    import jax
+    import jax.numpy as jnp
+
+    from avex_tpu.configs import TrainingParams
+    from avex_tpu.evaluation.finetune import FineTuneTrainer
+
+    backbone = _tiny_backbone()
+    cfg = ProbeConfig(
+        probe_type="linear", target_layers=["last_layer"], aggregation="mean",
+        freeze_backbone=True,
+    )
+    probe = build_probe_from_config(cfg, num_classes=3, base_model=backbone)
+    trainer = FineTuneTrainer(
+        probe, TrainingParams(train_epochs=1, lr=1e-3, batch_size=2), mode="online"
+    )
+    assert set(trainer._trainable) == {"probe"}  # backbone structurally excluded
+
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    labels = np.array([0, 2])
+    batch = {"raw_wav": wav, "label": labels}
+
+    def loss_fn(trainable):
+        logits = trainer._forward(trainable, batch, False, None)
+        onehot = jax.nn.one_hot(batch["label"], logits.shape[-1])
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, axis=-1))
+
+    # Even when backbone params ARE in the tree, stop_gradient zeroes them.
+    trainable = {
+        "probe": probe.variables["params"],
+        "backbone": backbone.variables["params"],
+    }
+    grads = jax.grad(loss_fn)(trainable)
+    backbone_norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads["backbone"])]
+    probe_norms = [float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads["probe"])]
+    assert max(backbone_norms) == 0.0, "frozen backbone received gradients"
+    assert max(probe_norms) > 0.0, "probe head received no gradients"
+
+
+def test_unfrozen_backbone_gets_gradients(rng):
+    """freeze_backbone=False joint fine-tuning: backbone grads flow."""
+    import jax
+    import jax.numpy as jnp
+
+    from avex_tpu.configs import TrainingParams
+    from avex_tpu.evaluation.finetune import FineTuneTrainer
+
+    backbone = _tiny_backbone()
+    cfg = ProbeConfig(
+        probe_type="linear", target_layers=["last_layer"], aggregation="mean",
+        freeze_backbone=False,
+    )
+    probe = build_probe_from_config(cfg, num_classes=3, base_model=backbone)
+    trainer = FineTuneTrainer(
+        probe, TrainingParams(train_epochs=1, lr=1e-3, batch_size=2), mode="online"
+    )
+    assert set(trainer._trainable) == {"probe", "backbone"}
+
+    wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    batch = {"raw_wav": wav, "label": np.array([0, 2])}
+
+    def loss_fn(trainable):
+        logits = trainer._forward(trainable, batch, False, None)
+        onehot = jax.nn.one_hot(batch["label"], logits.shape[-1])
+        return -jnp.mean(jnp.sum(jax.nn.log_softmax(logits) * onehot, axis=-1))
+
+    grads = jax.grad(loss_fn)(trainer._trainable)
+    backbone_max = max(
+        float(jnp.abs(g).max()) for g in jax.tree_util.tree_leaves(grads["backbone"])
+    )
+    assert backbone_max > 0.0, "unfrozen backbone received no gradients"
