@@ -135,6 +135,13 @@ class _GatedRelPosAttention(nn.Module):
     #: +33%% end-to-end on v5e at B=128/T=248). None = auto: on for bfloat16
     #: compute, off (fp32 parity softmax) otherwise.
     fast_attention: Optional[bool] = None
+    #: single 3*E-wide QKV gemm instead of three E-wide ones — identical
+    #: numerics (the converter concatenates the three kernels). Measured a
+    #: 9% LOSS on v5e at B=128/T=248 (78.0 vs 70.8 ms/batch: the fused
+    #: output's [.., 3, H, dh] split forces a layout change that breaks
+    #: XLA's projection→attention fusion), so it stays OFF by default;
+    #: reproduce with AVEX_ABLATE=fusedqkv scripts/bench_ablation.py.
+    fused_qkv: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -149,9 +156,14 @@ class _GatedRelPosAttention(nn.Module):
         head_dim = self.embed_dim // self.num_heads
         dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)  # noqa: E731
 
-        q = dense("q_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        k = dense("k_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        v = dense("v_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        if self.fused_qkv:
+            qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="qkv_proj")(x)
+            qkv = qkv.reshape(bsz, seq, 3, self.num_heads, head_dim)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        else:
+            q = dense("q_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            k = dense("k_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+            v = dense("v_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         gate = None
         if position_bias is not None and self.gru_rel_pos:
@@ -226,6 +238,7 @@ class _EncoderLayer(nn.Module):
             dropout=cfg.attention_dropout,
             use_pallas=bool(getattr(cfg, "use_pallas", False)),
             fast_attention=getattr(cfg, "fast_attention", None),
+            fused_qkv=bool(getattr(cfg, "fused_qkv", False)),
             dtype=self.dtype,
             name="self_attn",
         )
@@ -662,6 +675,27 @@ def convert_beats_state_dict(
             elif sub[0] in ("self_attn_layer_norm", "final_layer_norm"):
                 which = "scale" if sub[1] == "weight" else "bias"
                 put(base + (sub[0], which), value)
+
+    if bool(getattr(cfg, "fused_qkv", False)):
+        # Fold the three projections into the single 3E-wide qkv gemm. The
+        # fused output reshapes as [..., 3, H, dh], so columns concatenate in
+        # q|k|v order — identical numerics, one MXU pass.
+        encoder = params.get("backbone", {}).get("encoder", {})
+        for name, layer in encoder.items():
+            attn = layer.get("self_attn") if isinstance(layer, dict) else None
+            if not attn or "q_proj" not in attn:
+                continue
+            attn["qkv_proj"] = {
+                "kernel": jnp.concatenate(
+                    [attn["q_proj"]["kernel"], attn["k_proj"]["kernel"], attn["v_proj"]["kernel"]],
+                    axis=1,
+                ),
+                "bias": jnp.concatenate(
+                    [attn["q_proj"]["bias"], attn["k_proj"]["bias"], attn["v_proj"]["bias"]]
+                ),
+            }
+            for old in ("q_proj", "k_proj", "v_proj"):
+                del attn[old]
 
     if scan_layers is None:
         scan_layers = bool(getattr(cfg, "scan_layers", False))

@@ -92,3 +92,62 @@ def test_relative_position_bucket_jnp_matches_numpy():
         expected = relative_position_bucket(t, t)
         got = np.asarray(jax.jit(lambda t=t: relative_position_bucket_jnp(t, t))())
         np.testing.assert_array_equal(got, expected)
+
+
+def test_fused_qkv_identical_outputs(rng):
+    """fused_qkv (single 3E-wide gemm) is numerically identical to the three
+    separate projections once the kernels are concatenated in q|k|v order —
+    the layout convert_beats_state_dict(fused_qkv) emits."""
+    wav = jnp.asarray(rng.standard_normal((2, 16000)).astype(np.float32) * 0.1)
+
+    base = BEATsBackbone(cfg=_tiny_cfg(), dtype=jnp.float32)
+    variables = jax.jit(base.init)(jax.random.PRNGKey(0), wav)
+    out_base, _ = jax.jit(base.apply)(variables, wav)
+
+    # Build the fused param tree from the unfused one.
+    fused_vars = jax.tree_util.tree_map(lambda x: x, variables)  # deep copy
+    encoder = fused_vars["params"]["encoder"]
+    for name, layer in list(encoder.items()):
+        attn = layer.get("self_attn") if isinstance(layer, dict) else None
+        if not attn or "q_proj" not in attn:
+            continue
+        attn["qkv_proj"] = {
+            "kernel": jnp.concatenate(
+                [attn["q_proj"]["kernel"], attn["k_proj"]["kernel"], attn["v_proj"]["kernel"]],
+                axis=1,
+            ),
+            "bias": jnp.concatenate(
+                [attn["q_proj"]["bias"], attn["k_proj"]["bias"], attn["v_proj"]["bias"]]
+            ),
+        }
+        for old in ("q_proj", "k_proj", "v_proj"):
+            del attn[old]
+
+    fused = BEATsBackbone(cfg=_tiny_cfg(fused_qkv=True), dtype=jnp.float32)
+    out_fused, _ = jax.jit(fused.apply)(fused_vars, wav)
+    np.testing.assert_allclose(
+        np.asarray(out_fused), np.asarray(out_base), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_fused_qkv_converter(rng):
+    """convert_beats_state_dict(fused_qkv=True cfg) emits qkv_proj that the
+    fused module initializes/accepts shape-identically."""
+    from avex_tpu.models.beats import convert_beats_state_dict
+
+    cfg = _tiny_cfg(fused_qkv=True)
+    dim, heads = cfg.encoder_embed_dim, cfg.encoder_attention_heads
+    state = {}
+    for i in range(cfg.encoder_layers):
+        base = f"encoder.layers.{i}.self_attn"
+        for p in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            state[f"{base}.{p}.weight"] = rng.standard_normal((dim, dim)).astype(np.float32)
+            state[f"{base}.{p}.bias"] = rng.standard_normal(dim).astype(np.float32)
+    converted = convert_beats_state_dict(state, cfg)
+    attn = converted["params"]["backbone"]["encoder"]["layers_0"]["self_attn"]
+    assert "qkv_proj" in attn and "q_proj" not in attn
+    assert attn["qkv_proj"]["kernel"].shape == (dim, 3 * dim)
+    np.testing.assert_array_equal(
+        np.asarray(attn["qkv_proj"]["kernel"][:, :dim]),
+        state["encoder.layers.0.self_attn.q_proj.weight"].T,
+    )
