@@ -45,13 +45,20 @@ def _embedding_collate(items: Sequence[Dict[str, Any]]) -> Dict[str, np.ndarray]
     return out
 
 
-def _raw_loader(dataset, cfg: EvaluateConfig, target_len: int, num_classes: int, train: bool, window_selection: str) -> DataLoader:
+def _raw_loader(
+    dataset, cfg: EvaluateConfig, target_len: int, num_classes: int,
+    train: bool, window_selection: str, multilabel: bool = False,
+) -> DataLoader:
     collater = Collater(
         target_len=target_len,
         num_classes=num_classes,
         window_selection=window_selection,
         one_hot=True,
         train=train,
+        # Multi-label rows (lists of label indices, e.g. BirdSet eBird
+        # codes) must multi-hot encode — the single-label collater would
+        # silently keep only the FIRST label of each list.
+        multilabel=multilabel,
     )
     return DataLoader(
         dataset,
@@ -137,7 +144,10 @@ def run_experiment(
 
     metrics_out: Dict[str, Any] = {}
     loaders = {
-        name: _raw_loader(ds, config, target_len, num_classes, name == "train", window_selection)
+        name: _raw_loader(
+            ds, config, target_len, num_classes, name == "train",
+            window_selection, eval_set.multilabel,
+        )
         if ds is not None
         else None
         for name, ds in splits.items()
@@ -172,7 +182,8 @@ def run_experiment(
                 )
                 # Eval-context extraction: deterministic center-crop loader.
                 det_loader = _raw_loader(
-                    splits[split_name], config, target_len, num_classes, False, "center"
+                    splits[split_name], config, target_len, num_classes, False,
+                    "center", eval_set.multilabel,
                 )
                 emb_datasets[split_name] = _get_or_compute_embeddings(
                     model,
@@ -229,7 +240,8 @@ def run_experiment(
                 f"{split_name}_pooled", pooled_layers,
             )
             det_loader = _raw_loader(
-                splits[split_name], config, target_len, num_classes, False, "center"
+                splits[split_name], config, target_len, num_classes, False,
+                "center", eval_set.multilabel,
             )
             model.register_hooks_for_layers(list(pooled_layers))
             if config.offline_embeddings.overwrite or not embedding_cache_matches(

@@ -184,3 +184,92 @@ def test_offline_multi_layer_transformer_probe(tmp_path):
     with h5py.File(caches[0]) as f:
         assert bool(f.attrs["multi_layer"]) is True
         assert "embeddings_1" in f  # >1 layer cached
+
+
+@pytest.mark.integration
+@pytest.mark.slow
+def test_offline_probe_on_multilabel_manifest_benchmark(tmp_path):
+    """BirdSet-shaped offline eval entirely offline: a JSONL manifest of wav
+    files with multi-label eBird-code rows (the legacy-split format,
+    kind="manifest") through the full harness with a mAP metric. Pins the
+    multilabel collation path: each clip's label must multi-hot ALL its
+    codes (the bug this guards: the single-label collater silently kept
+    only the first)."""
+    import json as _json
+
+    from scipy.io import wavfile
+
+    sr = 16000
+    rng = np.random.default_rng(3)
+    codes = ["codeA", "codeB", "codeC"]
+
+    def write_split(name, n, seed):
+        root = tmp_path / "audio" / name
+        root.mkdir(parents=True)
+        rows = []
+        rng = np.random.default_rng(seed)
+        for i in range(n):
+            cls = i % 3
+            t = np.arange(sr, dtype=np.float32) / sr
+            wav = 0.3 * np.sin(2 * np.pi * 400.0 * (cls + 1) * t)
+            wav += 0.05 * rng.standard_normal(sr).astype(np.float32)
+            wavfile.write(root / f"c{i}.wav", sr, (wav * 32767).astype(np.int16))
+            labels = [codes[cls]] if i % 2 else [codes[cls], codes[(cls + 1) % 3]]
+            rows.append({"path": f"audio/{name}/c{i}.wav", "ebird_code": labels})
+        manifest = tmp_path / f"{name}.jsonl"
+        manifest.write_text("\n".join(_json.dumps(r) for r in rows))
+        return DatasetConfig(
+            name=f"manifest_{name}", kind="manifest", path=str(manifest),
+            data_root=str(tmp_path), label_column="ebird_code", sample_rate=sr,
+        )
+
+    eval_set = EvaluationSet(
+        name="manifest_benchmark",
+        train=write_split("train", 18, 0),
+        val=write_split("val", 6, 1),
+        test=write_split("test", 6, 2),
+        metrics=["mAP"],
+        multilabel=True,
+    )
+    run_config = RunConfig(
+        model_spec=_tiny_model_spec(),
+        training_params=TrainingParams(train_epochs=2, lr=5e-3, batch_size=6),
+        dataset_config=DatasetCollectionConfig(),
+        output_dir=str(tmp_path / "runs"),
+    )
+    config = EvaluateConfig(
+        experiments=[
+            ExperimentConfig(
+                run_name="tiny_beats_ml",
+                run_config=run_config,
+                pretrained=False,
+                probe_config=ProbeConfig(
+                    probe_type="linear", target_layers=["last_layer"], aggregation="mean"
+                ),
+            )
+        ],
+        dataset_config=BenchmarkEvaluationConfig(
+            name="manifest_bench", evaluation_sets=[eval_set]
+        ),
+        save_dir=str(tmp_path / "eval"),
+        training_params=TrainingParams(train_epochs=2, lr=5e-3, batch_size=6),
+        device="cpu",
+        seed=42,
+        num_workers=0,
+        eval_modes=["probe"],
+    )
+    results = run_evaluate_main(config)
+    metrics = results[0]["metrics"]["probe"]
+    assert any(k.startswith("test_") for k in metrics)
+    map_key = next(k for k in metrics if "map" in k.lower() or "average_precision" in k.lower())
+    assert 0.0 <= metrics[map_key] <= 1.0
+
+    # The multilabel collation itself: half the clips carry TWO codes.
+    from avex_tpu.data import Collater
+    from avex_tpu.data.dataset import dataset_from_config
+
+    ds = dataset_from_config(eval_set.train)
+    collate = Collater(target_len=sr, num_classes=3, train=False, multilabel=True)
+    batch = collate([ds[i] for i in range(4)])
+    assert batch["label"].shape == (4, 3)
+    assert batch["label"].sum() == 6  # rows 0/2 have 2 codes, rows 1/3 have 1
