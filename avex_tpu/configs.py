@@ -591,6 +591,16 @@ class RunConfig(BaseCLIConfig):
     #: train.py:450-453). Default 1 matches reference semantics — configs
     #: that rely on the default keep their per-epoch checkpoints; 0 disables.
     checkpoint_freq: int = 1
+    #: Step-level (mid-epoch) checkpoint cadence — preemption recovery for
+    #: TPU jobs, beyond the reference's epoch-granular resume. Saves a
+    #: rolling ``step_checkpoint`` every N train steps including the data
+    #: iterator state (exact with the grain pipeline; the native loader
+    #: resumes by deterministic batch skip). 0 disables.
+    checkpoint_every_steps: int = 0
+    #: Install a SIGTERM handler during training that saves a final
+    #: ``step_checkpoint`` and exits the epoch loop cleanly — TPU
+    #: preemptions deliver SIGTERM before eviction.
+    save_on_preemption: bool = True
 
     # TPU-native distribution: a mesh instead of nccl process groups.
     distributed: bool = False

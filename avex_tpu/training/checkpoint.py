@@ -55,8 +55,14 @@ class CheckpointManager:
         epoch: int = 0,
         best_val_acc: float = 0.0,
         extra_variables: Optional[Dict[str, Any]] = None,
+        extra_meta: Optional[Dict[str, Any]] = None,
     ) -> str:
-        """Save a named checkpoint; returns its path."""
+        """Save a named checkpoint; returns its path.
+
+        ``extra_meta`` merges into the meta.json sidecar — used by step-level
+        (mid-epoch) checkpoints to carry ``step_in_epoch`` and the data
+        iterator state.
+        """
         path = self._path(name)
         payload = {"params": params}
         if opt_state is not None:
@@ -78,13 +84,14 @@ class CheckpointManager:
         self._checkpointer.save(path, payload)
         self._checkpointer.wait_until_finished()
         if main:
-            meta = json.dumps(
-                {
-                    "step": int(step),
-                    "epoch": int(epoch),
-                    "best_val_acc": float(best_val_acc),
-                }
-            )
+            meta_dict = {
+                "step": int(step),
+                "epoch": int(epoch),
+                "best_val_acc": float(best_val_acc),
+            }
+            if extra_meta:
+                meta_dict.update(extra_meta)
+            meta = json.dumps(meta_dict)
             if self._remote:
                 from avex_tpu.io import write_text
 

@@ -102,6 +102,22 @@ class Trainer:
         }[config.label_type]
         self.checkpoints = CheckpointManager(config.output_dir)
         self.checkpoint_every_epochs = checkpoint_every_epochs
+        # Step-level (mid-epoch) checkpointing — preemption recovery beyond
+        # the reference's epoch granularity. Exact resume needs per-process
+        # iterator state, so it is single-controller only for now.
+        self.checkpoint_every_steps = int(
+            getattr(config, "checkpoint_every_steps", 0) or 0
+        )
+        if self.checkpoint_every_steps and jax.process_count() > 1:
+            logger.warning(
+                "checkpoint_every_steps is single-controller only; falling "
+                "back to epoch-level checkpoints on this %d-process run",
+                jax.process_count(),
+            )
+            self.checkpoint_every_steps = 0
+        self._preempted = False
+        self._resume_step_in_epoch = 0
+        self._resume_loader_state = None
 
         # During-training clustering evaluation (≈ train.py:666-702).
         self.clustering_evaluator = None
@@ -325,7 +341,23 @@ class Trainer:
             )
         self.start_epoch = int(payload.get("epoch", 0))
         self.best_val_acc = float(payload.get("best_val_acc", -np.inf))
-        logger.info("Resumed from %s at epoch %d", path, self.start_epoch)
+        # Mid-epoch (step-level) checkpoints carry the position inside the
+        # epoch plus, for stateful loaders, the exact data iterator state.
+        self._resume_step_in_epoch = int(payload.get("step_in_epoch", 0) or 0)
+        self._resume_loader_state = payload.get("loader_state")
+        if payload.get("rng") is not None:
+            self.state = self.state.replace(
+                rng=jnp.asarray(np.asarray(payload["rng"], dtype=np.uint32))
+            )
+        if self._resume_step_in_epoch:
+            logger.info(
+                "Resumed from %s mid-epoch: epoch %d, step %d",
+                path,
+                self.start_epoch,
+                self._resume_step_in_epoch,
+            )
+        else:
+            logger.info("Resumed from %s at epoch %d", path, self.start_epoch)
 
     def _save_kwargs(self) -> Dict[str, Any]:
         """Host copies of everything a checkpoint must persist.
@@ -369,14 +401,47 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def _run_epoch(self, loader: Iterable, train: bool, epoch: int) -> Dict[str, float]:
+    def _save_step_checkpoint(self, epoch: int, step_in_epoch: int) -> str:
+        """Rolling mid-epoch checkpoint incl. the data iterator state."""
+        loader_state = None
+        if hasattr(self.train_loader, "iterator_state"):
+            try:
+                loader_state = self.train_loader.iterator_state()
+            except Exception as err:  # keep training; skip-resume still works
+                logger.warning("could not capture loader state: %s", err)
+        return self.checkpoints.save(
+            "step_checkpoint",
+            epoch=epoch,
+            best_val_acc=self.best_val_acc,
+            extra_meta={
+                "step_in_epoch": int(step_in_epoch),
+                "loader_state": loader_state,
+                # The rng chain must survive for exact resume (dropout /
+                # layerdrop patterns continue where they left off).
+                "rng": np.asarray(jax.device_get(self.state.rng)).tolist(),
+            },
+            **self._save_kwargs(),
+        )
+
+    def _run_epoch(
+        self,
+        loader: Iterable,
+        train: bool,
+        epoch: int,
+        start_step: int = 0,
+        iterator=None,
+    ) -> Dict[str, float]:
+        """One pass over ``loader``. ``iterator``/``start_step`` support
+        mid-epoch resume: a restored (or skip-forwarded) iterator continues
+        the epoch with the step counter at its true position."""
         tracker = MetricsTracker(
             mode=self.mode,
             metric_names=self.config.metrics,
             num_classes=self.model.num_classes,
         )
         t0 = time.time()
-        for step_idx, batch in enumerate(loader):
+        stream = iterator if iterator is not None else loader
+        for step_idx, batch in enumerate(stream, start=start_step):
             labels = batch.get("label")
             if self.mode == "clip" and "text_label" in batch:
                 # Tokenize host-side; the string column itself never crosses
@@ -399,6 +464,21 @@ class Trainer:
 
                 metrics = {k: local_array(v) for k, v in metrics.items()}
             tracker.update(loss, metrics, labels=labels)
+            if (
+                train
+                and self.checkpoint_every_steps
+                and (step_idx + 1) % self.checkpoint_every_steps == 0
+            ):
+                self._save_step_checkpoint(epoch, step_idx + 1)
+            if train and self._preempted:
+                self._save_step_checkpoint(epoch, step_idx + 1)
+                logger.warning(
+                    "Preemption signal: saved step_checkpoint at epoch %d "
+                    "step %d, stopping",
+                    epoch,
+                    step_idx + 1,
+                )
+                break
             if train and (step_idx + 1) % self.params_cfg.log_steps == 0:
                 logger.info(
                     "epoch %d step %d loss %.4f (%.1f samples/s)",
@@ -422,10 +502,28 @@ class Trainer:
     def train(self) -> Dict[str, Any]:
         """Run the full training loop; returns the final metric summary."""
         import os
+        import signal
 
         cfg = self.params_cfg
         history = []
         profile_dir = os.environ.get("AVEX_PROFILE_DIR")
+        # TPU preemptions deliver SIGTERM; save a resumable step checkpoint
+        # and exit the loop cleanly instead of dying mid-step.
+        prev_handler = None
+        if getattr(self.config, "save_on_preemption", False) and jax.process_count() == 1:
+            try:
+                prev_handler = signal.signal(
+                    signal.SIGTERM, lambda *_a: setattr(self, "_preempted", True)
+                )
+            except ValueError:  # not the main thread
+                prev_handler = None
+        try:
+            return self._train_loop(cfg, history, profile_dir)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
+
+    def _train_loop(self, cfg, history, profile_dir) -> Dict[str, Any]:
         for epoch in range(self.start_epoch, cfg.train_epochs):
             # Two-stage transition (train.py:704-751): unfreeze + lower LR.
             if self._stage == 1 and epoch >= cfg.freeze_backbone_epochs:
@@ -439,17 +537,59 @@ class Trainer:
 
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
+
+            # Mid-epoch resume: continue the interrupted epoch from its saved
+            # position — exactly (restored iterator state, grain) or by
+            # deterministic batch skip (native loader; shuffles derive from
+            # (seed, epoch), so the skipped batches equal the trained ones).
+            start_step, resume_iterator = 0, None
+            if epoch == self.start_epoch and self._resume_step_in_epoch:
+                start_step = self._resume_step_in_epoch
+                if self._resume_loader_state is not None and hasattr(
+                    self.train_loader, "restore_iterator"
+                ):
+                    resume_iterator = self.train_loader.restore_iterator(
+                        self._resume_loader_state
+                    )
+                    logger.info("Restored exact loader state at step %d", start_step)
+                else:
+                    resume_iterator = iter(self.train_loader)
+                    for _ in range(start_step):
+                        next(resume_iterator, None)
+                    logger.info("Skip-forwarded loader by %d batches", start_step)
+                self._resume_step_in_epoch = 0
+                self._resume_loader_state = None
+
+            epoch_kwargs = dict(start_step=start_step, iterator=resume_iterator)
             if profile_dir and epoch == self.start_epoch:
                 # First-epoch jax.profiler capture (TensorBoard-viewable) when
                 # requested — observability the reference lacks (SURVEY §5).
                 from avex_tpu.utils.profiling import trace
 
                 with trace(profile_dir):
-                    train_metrics = self._run_epoch(self.train_loader, train=True, epoch=epoch)
+                    train_metrics = self._run_epoch(
+                        self.train_loader, train=True, epoch=epoch, **epoch_kwargs
+                    )
                 logger.info("profiled epoch %d -> %s", epoch, profile_dir)
             else:
-                train_metrics = self._run_epoch(self.train_loader, train=True, epoch=epoch)
+                train_metrics = self._run_epoch(
+                    self.train_loader, train=True, epoch=epoch, **epoch_kwargs
+                )
             record = {"epoch": epoch, "train": train_metrics}
+            if self._preempted:
+                history.append(record)
+                logger.warning("Training preempted at epoch %d; resumable from step_checkpoint", epoch)
+                self.model.variables = {
+                    "params": jax.device_get(self.state.params),
+                    **jax.device_get(self.state.extra_variables),
+                }
+                self.model._jit_cache.clear()
+                return {
+                    "history": history,
+                    "best_val_acc": self.best_val_acc,
+                    "preempted": True,
+                    "final_checkpoint": str(self.checkpoints._path("step_checkpoint")),
+                }
 
             if self.val_loader is not None and not cfg.skip_validation:
                 val_metrics = self._run_epoch(self.val_loader, train=False, epoch=epoch)

@@ -525,3 +525,112 @@ def test_grain_loader_determinism_across_workers_and_epochs(tmp_path):
     assert any(
         not np.array_equal(x["raw_wav"], y["raw_wav"]) for x, y in zip(a, c)
     ), "epoch reshuffle produced the identical stream"
+
+
+def _final_params(trainer):
+    import jax
+
+    return jax.device_get(trainer.state.params)
+
+
+def _assert_trees_equal(a, b):
+    import jax
+
+    for x, y in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+@pytest.mark.slow
+def test_preemption_resume_exact_with_grain(tmp_path):
+    """Preempt after one step, resume from the rolling step_checkpoint with
+    the grain loader's exact iterator state + restored rng chain: the final
+    params are BITWISE identical to an uninterrupted run."""
+    pytest.importorskip("grain")
+
+    def make(config_dir, **extra):
+        config = _run_config(tmp_path / config_dir, epochs=1)
+        return config.model_copy(update={"data_pipeline": "grain", **extra})
+
+    # Uninterrupted run.
+    config_a = make("a")
+    train_a, _v, _t, _lm, nc = build_dataloaders(config_a)
+    model_a = avex_tpu.build_model_from_spec(config_a.model_spec, num_classes=nc)
+    trainer_a = Trainer(model_a, config_a, train_a)
+    trainer_a.train()
+
+    # Interrupted run: the SIGTERM flag set before train() stops after the
+    # first step and saves step_checkpoint.
+    config_b = make("b", checkpoint_every_steps=0)
+    train_b, _v, _t, _lm, nc = build_dataloaders(config_b)
+    model_b = avex_tpu.build_model_from_spec(config_b.model_spec, num_classes=nc)
+    trainer_b = Trainer(model_b, config_b, train_b)
+    trainer_b._preempted = True
+    result_b = trainer_b.train()
+    assert result_b["preempted"] is True
+    ckpt = Path(config_b.output_dir) / "step_checkpoint"
+    assert ckpt.exists()
+    import json as _json
+
+    meta = _json.loads((Path(config_b.output_dir) / "step_checkpoint.meta.json").read_text())
+    assert meta["step_in_epoch"] == 1
+    assert meta["loader_state"] is not None  # grain exact state captured
+
+    # Resume and finish.
+    config_c = make("b", resume_from_checkpoint=str(ckpt))
+    train_c, _v, _t, _lm, nc = build_dataloaders(config_c)
+    model_c = avex_tpu.build_model_from_spec(config_c.model_spec, num_classes=nc)
+    trainer_c = Trainer(model_c, config_c, train_c)
+    assert trainer_c._resume_step_in_epoch == 1
+    trainer_c.train()
+
+    _assert_trees_equal(_final_params(trainer_a), _final_params(trainer_c))
+
+
+@pytest.mark.slow
+def test_step_checkpoint_resume_native_loader_skip(tmp_path):
+    """Native loader: no iterator state, so resume skip-forwards the
+    deterministic (seed, epoch) shuffle — final params still match the
+    uninterrupted run exactly."""
+    config_a = _run_config(tmp_path / "na", epochs=1)
+    train_a, _v, _t, _lm, nc = build_dataloaders(config_a)
+    model_a = avex_tpu.build_model_from_spec(config_a.model_spec, num_classes=nc)
+    trainer_a = Trainer(model_a, config_a, train_a)
+    trainer_a.train()
+
+    config_b = _run_config(tmp_path / "nb", epochs=1).model_copy(
+        update={"checkpoint_every_steps": 3}
+    )
+    train_b, _v, _t, _lm, nc = build_dataloaders(config_b)
+    model_b = avex_tpu.build_model_from_spec(config_b.model_spec, num_classes=nc)
+    trainer_b = Trainer(model_b, config_b, train_b)
+    assert trainer_b.checkpoint_every_steps == 3
+    trainer_b._preempted = True  # stop after step 1 (with a step checkpoint)
+    trainer_b.train()
+
+    ckpt = Path(config_b.output_dir) / "step_checkpoint"
+    config_c = config_b.model_copy(update={"resume_from_checkpoint": str(ckpt)})
+    train_c, _v, _t, _lm, nc = build_dataloaders(config_c)
+    model_c = avex_tpu.build_model_from_spec(config_c.model_spec, num_classes=nc)
+    trainer_c = Trainer(model_c, config_c, train_c)
+    trainer_c.train()
+
+    _assert_trees_equal(_final_params(trainer_a), _final_params(trainer_c))
+
+
+@pytest.mark.slow  # full 8-step trainer epoch (~40 s)
+def test_periodic_step_checkpoints_roll(tmp_path):
+    """checkpoint_every_steps=N writes the rolling step_checkpoint with an
+    advancing step_in_epoch during a normal (non-preempted) epoch."""
+    import json as _json
+
+    config = _run_config(tmp_path, epochs=1).model_copy(
+        update={"checkpoint_every_steps": 4}
+    )
+    train, _v, _t, _lm, nc = build_dataloaders(config)
+    model = avex_tpu.build_model_from_spec(config.model_spec, num_classes=nc)
+    trainer = Trainer(model, config, train)
+    result = trainer.train()
+    assert "preempted" not in result
+    meta = _json.loads((Path(config.output_dir) / "step_checkpoint.meta.json").read_text())
+    assert meta["step_in_epoch"] == 8  # 8 steps/epoch, cadence 4 -> last at 8
+    assert meta["rng"] is not None
