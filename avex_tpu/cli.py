@@ -72,8 +72,15 @@ def list_models_cmd() -> None:
 @click.option("--npy-sr", type=int, default=None,
               help=".npy inputs are assumed to already be at the model's sample "
                    "rate; pass their actual rate here to resample them")
+@click.option("--windowed", is_flag=True,
+              help="long recordings: one embedding PER clip-seconds window "
+                   "(hop --hop-seconds) instead of a single center crop; the "
+                   ".files.json manifest records each row's file + offset")
+@click.option("--hop-seconds", type=float, default=None,
+              help="window hop for --windowed (default: the window length)")
 def embed(model_name, input_path, output_path, layers, aggregation,
-          batch_size, clip_seconds, random_weights, npy_sr) -> None:
+          batch_size, clip_seconds, random_weights, npy_sr,
+          windowed, hop_seconds) -> None:
     """Embed audio files into an HDF5 cache (the most common one-off task:
     point a model at a directory, get layer-wise embeddings out)."""
     import json
@@ -100,20 +107,44 @@ def embed(model_name, input_path, output_path, layers, aggregation,
     sr = int(ac.sample_rate) if ac is not None and getattr(ac, "sample_rate", None) else 16000
     target = int(clip_seconds * sr)
 
-    def batches():
-        for start in range(0, len(files), batch_size):
-            clips = []
-            for path in files[start : start + batch_size]:
-                if path.suffix == ".npy":
-                    wav = np.load(path).astype(np.float32).reshape(-1)
-                    if npy_sr and npy_sr != sr:
-                        wav = resample(wav, npy_sr, sr)
-                else:
-                    wav, file_sr = decode_audio(str(path), mono=True)
-                    if file_sr != sr:
-                        wav = resample(wav, file_sr, sr)
+    def load_wav(path):
+        if path.suffix == ".npy":
+            wav = np.load(path).astype(np.float32).reshape(-1)
+            if npy_sr and npy_sr != sr:
+                wav = resample(wav, npy_sr, sr)
+            return wav
+        wav, file_sr = decode_audio(str(path), mono=True)
+        if file_sr != sr:
+            wav = resample(wav, file_sr, sr)
+        return wav
+
+    # Each output row is (file, offset); a non-windowed run is one
+    # center-cropped row per file at offset 0.
+    manifest_rows = []
+
+    def rows():
+        from avex_tpu.ops.windowing import window_waveform
+
+        hop = int((hop_seconds or clip_seconds) * sr)
+        for path in files:
+            wav = load_wav(path)
+            if windowed:
+                windows, offsets = window_waveform(wav, target, hop_samples=hop)
+                for clip, offset in zip(windows, offsets):
+                    yield clip, {"path": str(path), "offset_samples": int(offset)}
+            else:
                 clip, _mask = pad_or_window_np(wav, target, window_selection="center")
-                clips.append(clip)
+                yield clip, {"path": str(path), "offset_samples": 0}
+
+    def batches():
+        clips = []
+        for clip, row in rows():
+            clips.append(clip)
+            manifest_rows.append(row)
+            if len(clips) == batch_size:
+                yield {"raw_wav": np.stack(clips)}
+                clips = []
+        if clips:
             yield {"raw_wav": np.stack(clips)}
 
     import jax
@@ -126,8 +157,11 @@ def embed(model_name, input_path, output_path, layers, aggregation,
         model, batches(), output_path, aggregation=aggregation, mesh=mesh
     )
     manifest = Path(output_path).with_suffix(".files.json")
-    manifest.write_text(json.dumps([str(p) for p in files], indent=0))
-    click.echo(f"Embedded {len(files)} files -> {output_path} (manifest: {manifest})")
+    manifest.write_text(json.dumps(manifest_rows, indent=0))
+    click.echo(
+        f"Embedded {len(files)} files ({len(manifest_rows)} rows) -> "
+        f"{output_path} (manifest: {manifest})"
+    )
 
 
 if __name__ == "__main__":

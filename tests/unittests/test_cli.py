@@ -119,7 +119,56 @@ def test_embed_command(tmp_path):
     embs, _labels, meta = load_cached_embeddings(out)
     assert embs[0].shape[0] == 3 and embs[0].shape[-1] == 768
     assert meta["aggregation"] == "mean"
-    assert out.with_suffix(".files.json").exists()
+    import json as _json
+
+    manifest = _json.loads(out.with_suffix(".files.json").read_text())
+    assert len(manifest) == 3
+    assert all(row["offset_samples"] == 0 for row in manifest)
+
+
+@pytest.mark.slow  # full-size BEATs build: ~30 s
+def test_embed_command_windowed(tmp_path):
+    """--windowed: one embedding row per window of a long recording, with
+    per-row file + offset in the manifest (the 30-minute-soundscape path)."""
+    import json as _json
+
+    import numpy as np
+    from scipy.io import wavfile
+
+    audio_dir = tmp_path / "clips"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    # 3.5 s recording -> windows at 0/0.5/1.0/.../2.5 + padded tail at 3.0
+    wav = (rng.standard_normal(56000) * 0.1 * 32767).astype(np.int16)
+    wavfile.write(audio_dir / "long.wav", 16000, wav)
+
+    out = tmp_path / "embs.h5"
+    result = CliRunner().invoke(
+        cli,
+        [
+            "embed",
+            "-m", "esp_aves2_sl_beats_all",
+            "-i", str(audio_dir),
+            "-o", str(out),
+            "--random-weights",
+            "--clip-seconds", "1",
+            "--hop-seconds", "0.5",
+            "--windowed",
+            "--batch-size", "4",
+        ],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+
+    from avex_tpu.evaluation import load_cached_embeddings
+
+    embs, _labels, _meta = load_cached_embeddings(out)
+    manifest = _json.loads(out.with_suffix(".files.json").read_text())
+    assert embs[0].shape[0] == len(manifest)
+    offsets = [row["offset_samples"] for row in manifest]
+    assert offsets[0] == 0 and offsets[1] == 8000  # 0.5 s hop
+    assert len(offsets) >= 6
+    assert all(row["path"].endswith("long.wav") for row in manifest)
 
 
 def test_sweep_runner_dry_run(tmp_path):
