@@ -337,17 +337,18 @@ class DatasetConfig(BaseModel):
         elif dsname == "birdset_train" and split:
             # The reference's registered legacy dataset
             # (birdset_train_splits.py:1-25): named splits resolve against
-            # the GCS JSONL manifest registry via the manifest backend.
-            from avex_tpu.data.birdset import LEGACY_SPLIT_PATHS, birdset_train_config
+            # the GCS JSONL manifest registry via the manifest backend. An
+            # unknown split raises (the reference's _load does the same with
+            # LookupError) instead of silently falling through to a broken
+            # kind="local" config.
+            from avex_tpu.data.birdset import birdset_train_config
 
-            if split in LEGACY_SPLIT_PATHS:
-                preset = birdset_train_config(split, data_root=data.get("data_root"))
-                for key, value in preset.model_dump(exclude_none=True).items():
-                    if key not in ("name",):
-                        data.setdefault(key, value)
-                data["kind"] = preset.kind
-                data["path"] = data.get("path") or preset.path
-                data["label_column"] = preset.label_column
+            preset = birdset_train_config(split, data_root=data.get("data_root"))
+            for key, value in preset.model_dump(exclude_none=True).items():
+                if key not in ("name",):
+                    data.setdefault(key, value)
+            data["kind"] = preset.kind
+            data["path"] = data.get("path") or preset.path
         elif dsname == "birdset" and "-" in split:
             # esp_data split naming 'POW-train' → our HF preset (task subset
             # + split); label column follows the preset, not esp_data's

@@ -327,6 +327,50 @@ class ConcatenatedDataset(AudioDataset):
         return item
 
 
+class RelabeledDataset(AudioDataset):
+    """View of a dataset with labels remapped into a shared label space."""
+
+    def __init__(self, base: AudioDataset, label_names: Sequence[str]) -> None:
+        super().__init__(label_names=list(label_names))
+        self.base = base
+        shared = self.label_map()
+        self._remap = {
+            i: shared[name] for i, name in enumerate(base.label_names)
+        }
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        item = dict(self.base[idx])
+        lab = item["label"]
+        if isinstance(lab, (list, tuple)):
+            item["label"] = [self._remap[int(x)] for x in lab]
+        else:
+            item["label"] = self._remap[int(lab)]
+        return item
+
+
+def align_label_spaces(datasets: Sequence[Optional[AudioDataset]]) -> List[Optional[AudioDataset]]:
+    """Put related splits onto one shared (sorted-union) label space.
+
+    Splits loaded from separate per-split sources (e.g. the BirdSet legacy
+    manifests, one JSONL per split) each derive their own label→index map
+    from their own rows; pairing them without alignment silently permutes
+    class indices between train and test (every metric corrupted) or
+    crashes one-hot encoding when a split holds a class the train split
+    lacks. Identical label spaces pass through unwrapped.
+    """
+    present = [ds for ds in datasets if ds is not None]
+    if not present:
+        return list(datasets)
+    first = present[0].label_names
+    if all(ds.label_names == first for ds in present):
+        return list(datasets)
+    union = sorted({name for ds in present for name in ds.label_names})
+    return [None if ds is None else RelabeledDataset(ds, union) for ds in datasets]
+
+
 _BACKENDS = {
     "synthetic": SyntheticAudioDataset,
     "local": LocalAudioDataset,

@@ -169,21 +169,30 @@ class Model(ModelBase):
         if not self._layer_names:
             self._layer_names = ["embeddings"]
 
+    #: birdnetlib keeps a trailing partial chunk only when it holds at least
+    #: 1.5 s of the 3 s window (BirdNET sig_minlen; the reference pads short
+    #: clips for exactly this reason, birdnet.py:342/382).
+    MINLEN_FRACTION = 0.5
+
     def _chunk(self, clip: np.ndarray) -> np.ndarray:
         """Pad/window one waveform into the model's fixed input length.
 
         Short clips are right-padded to CHUNK_SEC (reference
-        birdnet.py:343-347); a trailing partial window is padded and analyzed
-        as a final chunk, matching birdnetlib's chunking — dropping it would
-        lose e.g. the last second of a 7 s clip.
+        birdnet.py:343-347). A trailing partial window is zero-padded and
+        analyzed when it carries >= minlen (1.5 s) of audio, and dropped
+        otherwise — birdnetlib's split semantics (it "requires >= 1.5 s of
+        audio" per chunk, reference birdnet.py:382).
         """
         n = self._backend.input_samples
         if len(clip) < n:
             clip = np.pad(clip, (0, n - len(clip)))
+        minlen = int(n * self.MINLEN_FRACTION)
         windows = []
         for i in range(0, len(clip), n):
             w = clip[i : i + n]
             if len(w) < n:
+                if len(w) < minlen:
+                    break  # birdnetlib drops sub-minlen trailing chunks
                 w = np.pad(w, (0, n - len(w)))
             windows.append(w)
         return np.stack(windows)

@@ -118,6 +118,12 @@ def run_experiment(
     for split_name in ("train", "val", "test"):
         ds_cfg = getattr(eval_set, split_name)
         splits[split_name] = dataset_from_config(ds_cfg) if ds_cfg else None
+    # Per-split sources (manifest/local backends) derive their own label
+    # maps; align them so train/test indices refer to the same classes.
+    from avex_tpu.data.dataset import align_label_spaces
+
+    aligned = align_label_spaces([splits[k] for k in ("train", "val", "test")])
+    splits = dict(zip(("train", "val", "test"), aligned))
     ref_ds = splits["train"] or splits["test"]
     num_classes = ref_ds.num_classes
 

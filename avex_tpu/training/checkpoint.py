@@ -101,6 +101,31 @@ class CheckpointManager:
         logger.info("Saved checkpoint %s (epoch %d, step %d)", path, epoch, step)
         return str(path)
 
+    def save_rolling(self, name: str, **kwargs) -> str:
+        """Crash-safe rolling save: write ``<name>_next``, then swap.
+
+        A plain overwrite deletes the only previous checkpoint before the
+        new save completes — a crash in that window (exactly what rolling
+        preemption checkpoints exist for) would destroy all progress. The
+        swap shrinks the vulnerable window to a directory rename, and a
+        crash inside it still leaves the complete ``<name>_next`` on disk
+        (the trainer's resume falls back to it).
+        """
+        if self._remote:  # no cheap rename on object stores
+            return self.save(name, **kwargs)
+        next_name = f"{name}_next"
+        self.save(next_name, **kwargs)
+        import shutil
+
+        final = self._path(name)
+        if final.exists():
+            shutil.rmtree(final)
+        final_meta = self.output_dir / f"{name}.meta.json"
+        final_meta.unlink(missing_ok=True)
+        self._path(next_name).rename(final)
+        (self.output_dir / f"{next_name}.meta.json").rename(final_meta)
+        return str(final)
+
     def save_best(self, **kwargs) -> str:
         """Save/overwrite the best_model checkpoint."""
         return self.save("best_model", **kwargs)
@@ -110,8 +135,13 @@ class CheckpointManager:
         return self.save("final_model", **kwargs)
 
     def save_epoch(self, epoch: int, **kwargs) -> str:
-        """Save a periodic checkpoint_epoch_N checkpoint."""
-        return self.save(f"checkpoint_epoch_{epoch}", epoch=epoch, **kwargs)
+        """Save a periodic checkpoint_epoch_N checkpoint.
+
+        The meta ``epoch`` records the NEXT epoch to run (epoch N is
+        complete when this saves) — the same convention save_final uses —
+        so resume continues at N+1 instead of re-training epoch N.
+        """
+        return self.save(f"checkpoint_epoch_{epoch}", epoch=epoch + 1, **kwargs)
 
     def load(
         self, name_or_path: str, template: Optional[Dict[str, Any]] = None

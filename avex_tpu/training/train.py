@@ -295,6 +295,19 @@ class Trainer:
         return replicate(self._tx.init(params), self.mesh)
 
     def _resume(self, path: str) -> None:
+        from pathlib import Path as _Path
+
+        # Interrupted rolling swap: the stable name may be mid-rename while
+        # the complete _next directory survives — fall back to it.
+        candidate = _Path(str(path))
+        if not candidate.exists() and _Path(str(path) + "_next").exists():
+            logger.warning(
+                "checkpoint %s missing; resuming from %s_next (interrupted "
+                "rolling swap)",
+                path,
+                path,
+            )
+            path = str(path) + "_next"
         template = {
             "params": jax.device_get(self.state.params),
             "opt_state": jax.device_get(self.state.opt_state),
@@ -409,7 +422,7 @@ class Trainer:
                 loader_state = self.train_loader.iterator_state()
             except Exception as err:  # keep training; skip-resume still works
                 logger.warning("could not capture loader state: %s", err)
-        return self.checkpoints.save(
+        return self.checkpoints.save_rolling(
             "step_checkpoint",
             epoch=epoch,
             best_val_acc=self.best_val_acc,
@@ -596,8 +609,9 @@ class Trainer:
                 record["val"] = val_metrics
                 if val_metrics["primary"] > self.best_val_acc:
                     self.best_val_acc = val_metrics["primary"]
+                    # meta epoch = next epoch to run (epoch N is complete).
                     self.checkpoints.save_best(
-                        epoch=epoch,
+                        epoch=epoch + 1,
                         best_val_acc=self.best_val_acc,
                         **self._save_kwargs(),
                     )

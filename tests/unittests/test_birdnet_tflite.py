@@ -96,13 +96,15 @@ def test_model_wrapper_chunks_pads_and_aggregates(tmp_path, rng):
     assert per_window.shape == (1, 2, EMB_DIM)
 
 
-def test_chunk_keeps_trailing_partial_window(tmp_path, rng):
-    """A clip with a trailing remainder gets a final zero-padded window —
-    birdnetlib analyzes the partial last chunk instead of dropping it."""
+def test_chunk_trailing_window_minlen_semantics(tmp_path, rng):
+    """birdnetlib split semantics: a trailing remainder >= minlen (half the
+    window) gets a final zero-padded chunk; a shorter remainder is dropped
+    (birdnetlib 'requires >= 1.5 s of audio' per chunk)."""
     model = _tiny_keras(two_outputs=False)
     wrapper = Model(model_path=_to_tflite(model, tmp_path, "m.tflite"))
 
-    tail = INPUT_LEN // 3
+    # Remainder of 2/3 window >= minlen: kept and padded.
+    tail = 2 * INPUT_LEN // 3
     clip = rng.standard_normal(2 * INPUT_LEN + tail).astype(np.float32)
     windows = wrapper._chunk(clip)
     assert windows.shape == (3, INPUT_LEN)
@@ -110,6 +112,10 @@ def test_chunk_keeps_trailing_partial_window(tmp_path, rng):
     np.testing.assert_array_equal(windows[1], clip[INPUT_LEN : 2 * INPUT_LEN])
     np.testing.assert_array_equal(windows[2][:tail], clip[2 * INPUT_LEN :])
     np.testing.assert_array_equal(windows[2][tail:], 0)
+
+    # Remainder of 1/3 window < minlen: dropped (reference birdnet.py:382).
+    short_tail = rng.standard_normal(2 * INPUT_LEN + INPUT_LEN // 3).astype(np.float32)
+    assert wrapper._chunk(short_tail).shape == (2, INPUT_LEN)
 
     # Exact multiples still produce exactly len/n windows (no empty tail).
     assert wrapper._chunk(clip[: 2 * INPUT_LEN]).shape == (2, INPUT_LEN)

@@ -165,3 +165,53 @@ def test_manifest_dataset_resamples(tmp_path):
     )
     item = ManifestAudioDataset(cfg)[0]
     assert abs(len(item["raw_wav"]) - 16000) <= 1  # resampled to ~1 s at 16 kHz
+
+
+def test_align_label_spaces_unifies_split_vocabularies(tmp_path):
+    """Per-split manifests with different species sets must land on one
+    shared label space — otherwise train/test indices silently refer to
+    different classes (the round-3 review finding)."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    from avex_tpu.data.dataset import align_label_spaces
+
+    sr = 16000
+
+    def split(name, codes):
+        rows = []
+        rng = np.random.default_rng(1)
+        for i, code in enumerate(codes):
+            wav = (rng.standard_normal(sr // 4) * 0.1 * 32767).astype(np.int16)
+            wavfile.write(tmp_path / f"{name}_{i}.wav", sr, wav)
+            rows.append({"path": f"{name}_{i}.wav", "ebird_code": code})
+        manifest = tmp_path / f"{name}.jsonl"
+        manifest.write_text("\n".join(json.dumps(r) for r in rows))
+        return ManifestAudioDataset(
+            DatasetConfig(
+                name=name, kind="manifest", path=str(manifest),
+                data_root=str(tmp_path), label_column="ebird_code", sample_rate=sr,
+            )
+        )
+
+    train = split("train", ["codeB", "codeC"])     # local: B->0, C->1
+    test = split("test", ["codeA", "codeC"])       # local: A->0, C->1 (!)
+    assert train[1]["label"] == 1 and test[1]["label"] == 1  # both "1", different species
+
+    a_train, a_test = align_label_spaces([train, test])
+    assert a_train.label_names == ["codeA", "codeB", "codeC"] == a_test.label_names
+    assert a_train[0]["label"] == 1  # codeB
+    assert a_train[1]["label"] == 2  # codeC
+    assert a_test[0]["label"] == 0   # codeA
+    assert a_test[1]["label"] == 2   # codeC == train's codeC index
+
+    # Identical spaces pass through unwrapped.
+    same = align_label_spaces([train, split("train2", ["codeB", "codeC"])])
+    assert same[0] is train
+
+
+def test_birdset_train_unknown_split_raises():
+    """An unknown birdset_train split raises (reference _load LookupError)
+    instead of silently degrading to a broken local-dataset config."""
+    with pytest.raises(Exception, match="Invalid birdset_train split"):
+        DatasetConfig(**{"dataset_name": "birdset_train", "split": "POW-trian"})
