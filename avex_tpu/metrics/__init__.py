@@ -175,11 +175,15 @@ class ROCAUC(_StreamingMetric):
                 # softmax for a proper probability simplex
                 e = np.exp(logits - logits.max(axis=1, keepdims=True))
                 probs = e / e.sum(axis=1, keepdims=True)
-                return float(roc_auc_score(yy, probs, average="macro", multi_class="ovr"))
-            scores = logits[:, 1] if logits.ndim == 2 else logits
-            return float(roc_auc_score(_labels_to_indices(y), scores))
+                value = float(roc_auc_score(yy, probs, average="macro", multi_class="ovr"))
+            else:
+                scores = logits[:, 1] if logits.ndim == 2 else logits
+                value = float(roc_auc_score(_labels_to_indices(y), scores))
         except ValueError:
-            return 0.0  # single class present
+            return 0.0  # single class present (older sklearn raises)
+        # Newer sklearn returns NaN (with a warning) instead of raising for
+        # degenerate batches; NaN must not poison best-checkpoint compares.
+        return value if np.isfinite(value) else 0.0
 
     #: alias used by some callers
     compute = get_primary_metric

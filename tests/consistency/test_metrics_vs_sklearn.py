@@ -86,3 +86,51 @@ def test_roc_auc_matches_sklearn(rng):
     got = metric.get_primary_metric()
     alt = skm.roc_auc_score(labels, scores[:, 1])
     assert got == pytest.approx(expected, abs=1e-6) or got == pytest.approx(alt, abs=1e-6)
+
+
+def test_map_boundary_values(rng):
+    """Perfect ranking -> mAP 1.0; classes with no positives are excluded
+    (NaN-skipped), matching BEANS semantics."""
+    from avex_tpu.metrics import get_metric_class
+
+    targets = np.zeros((6, 3), np.float32)
+    targets[:3, 0] = 1.0
+    targets[3:, 1] = 1.0  # class 2 never positive
+    perfect = targets * 10.0 - 5.0
+
+    metric = get_metric_class("mAP", num_classes=3)
+    metric.update(perfect, targets)
+    assert metric.get_primary_metric() == pytest.approx(1.0)
+
+
+def test_roc_auc_single_class_returns_zero(rng):
+    """Degenerate batches (one class only) return 0.0 instead of raising —
+    streaming evaluation must survive skewed eval splits."""
+    from avex_tpu.metrics import get_metric_class
+
+    metric = get_metric_class("roc_auc", num_classes=2)
+    logits = rng.standard_normal((4, 2)).astype(np.float32)
+    metric.update(logits, np.zeros(4, np.int64))
+    assert metric.get_primary_metric() == 0.0
+
+
+def test_streaming_updates_equal_single_batch(multiclass):
+    """Metric state accumulates across update() calls: two half-batches give
+    the same value as one full batch (the reference's .update contract)."""
+    from avex_tpu.metrics import get_metric_class
+
+    logits, targets, c = multiclass
+    whole = get_metric_class("accuracy", num_classes=c)
+    whole.update(logits, targets)
+    halves = get_metric_class("accuracy", num_classes=c)
+    mid = len(targets) // 2
+    halves.update(logits[:mid], targets[:mid])
+    halves.update(logits[mid:], targets[mid:])
+    assert whole.get_primary_metric() == pytest.approx(halves.get_primary_metric())
+
+
+def test_unknown_metric_raises():
+    from avex_tpu.metrics import get_metric_class
+
+    with pytest.raises((KeyError, ValueError)):
+        get_metric_class("no_such_metric", num_classes=2)
