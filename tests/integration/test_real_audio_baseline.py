@@ -170,6 +170,7 @@ def _tiny_model_spec():
 
 
 @pytest.mark.integration
+@pytest.mark.slow
 def test_real_audio_linear_probe_matches_baseline(real_audio_dir, tmp_path):
     def split(name, sub):
         return DatasetConfig(

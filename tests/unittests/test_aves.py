@@ -23,6 +23,7 @@ def test_parameter_count_matches_hubert_base():
     assert n == 94_370_816, n
 
 
+@pytest.mark.slow
 def test_forward_framing_and_embeddings(rng):
     model = avex_tpu.build_model_from_spec(_spec(), num_classes=None,
                                            return_features_only=True)

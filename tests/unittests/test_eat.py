@@ -30,6 +30,7 @@ def test_vit_base_parameter_count():
     assert n == 197_376 + 85_054_464 + 768 + 3_072, n
 
 
+@pytest.mark.slow
 def test_forward_token_grid(rng):
     model = avex_tpu.build_model_from_spec(_spec(), num_classes=None,
                                            return_features_only=True)

@@ -33,6 +33,7 @@ def _tiny_ssl_model():
     )
 
 
+@pytest.mark.slow
 def test_ssl_forward_reports_losses(rng):
     model = _tiny_ssl_model()
     wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1

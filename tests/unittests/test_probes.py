@@ -160,6 +160,7 @@ def test_learned_weights_table(rng):
     assert "does not use weighted sum" in single.get_learned_weights_table()
 
 
+@pytest.mark.slow
 def test_frozen_backbone_gets_zero_gradients(rng):
     """Gradient-flow contract: with freeze_backbone=True the backbone sits
     behind stop_gradient (finetune.py:124-125) — its grads are exactly zero
@@ -203,6 +204,7 @@ def test_frozen_backbone_gets_zero_gradients(rng):
     assert max(probe_norms) > 0.0, "probe head received no gradients"
 
 
+@pytest.mark.slow
 def test_unfrozen_backbone_gets_gradients(rng):
     """freeze_backbone=False joint fine-tuning: backbone grads flow."""
     import jax

@@ -35,6 +35,7 @@ def test_parameter_counts_match_torchvision(variant, expected):
     assert count_params(model.variables["params"]) == expected
 
 
+@pytest.mark.slow
 def test_forward_and_embeddings(rng):
     model = avex_tpu.build_model_from_spec(_spec("resnet18"), num_classes=5)
     wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1

@@ -292,6 +292,7 @@ def test_periodic_checkpoints_and_clustering_eval(tmp_path):
     assert clustering is not None and "ari" in clustering
 
 
+@pytest.mark.slow
 def test_multiworker_loader_matches_sequential(tmp_path):
     """num_workers>0 must yield byte-identical batches in identical order to
     the sequential path (round-1 weakness: num_workers was a boolean in
