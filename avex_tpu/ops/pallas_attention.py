@@ -30,12 +30,22 @@ binding constraints are (a) the D=64 contraction uses half the 128-wide MXU
 regardless of packing — a cost XLA pays too but hides behind better
 cross-head pipelining — and (b) XLA fuses the gate x bias chain into the
 logits computation without materializing it in HBM at these sequence
-lengths, so the kernel has no memory-traffic win to harvest. Reproduce with
-``python scripts/bench_attention.py``. The kernel stays OFF by default
-(``BEATsConfig.use_pallas``); it remains correct (parity-tested vs the XLA
-path at 12 heads incl. masks/gates) and is the right starting point if
-sequence lengths ever grow past VMEM (online-softmax tiling would then also
-be needed).
+lengths, so the kernel has no memory-traffic win to harvest.
+
+Round 3 also measured JAX's own tuned TPU flash-attention kernel
+(jax.experimental.pallas.ops.tpu.flash_attention) at the same shapes in
+bf16: it only accepts a *materialized* ``[B, H, T, T]`` additive bias
+(``ab``), so the gate x shared-bias product must round-trip HBM — the very
+traffic the XLA path fuses away — and it lands at **0.437x XLA** (21,449
+vs 49,094 clips/s of attention; this kernel 0.668x). Flash-style online
+softmax only pays when the logits tile exceeds VMEM; at T=248 everything
+already fits, so the pipelining advantage cannot offset the bias stream.
+
+Reproduce with ``python scripts/bench_attention.py --dtype bfloat16``. The
+kernel stays OFF by default (``BEATsConfig.use_pallas``); it remains correct
+(parity-tested vs the XLA path at 12 heads incl. masks/gates) and is the
+right starting point if sequence lengths ever grow past VMEM (online-softmax
+tiling would then also be needed).
 """
 
 from __future__ import annotations

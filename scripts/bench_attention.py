@@ -29,6 +29,7 @@ def main() -> None:
     parser.add_argument("--dim", type=int, default=64)
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--block-b", type=int, default=8)
+    parser.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
     args = parser.parse_args()
 
     import jax
@@ -38,13 +39,14 @@ def main() -> None:
     from avex_tpu.ops.pallas_attention import gated_bias_attention
 
     b, h, t, d = args.batch, args.heads, args.seq, args.dim
+    dtype = jnp.dtype(args.dtype)
     rng = np.random.default_rng(0)
 
-    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1)
-    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1)
-    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1)
-    pos_bias = jnp.asarray(rng.standard_normal((h, t, t)).astype(np.float32) * 0.1)
-    gate = jnp.asarray(rng.uniform(1.0, 2.0, (b, h, t)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1, dtype)
+    k = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1, dtype)
+    v = jnp.asarray(rng.standard_normal((b, h, t, d)).astype(np.float32) * 0.1, dtype)
+    pos_bias = jnp.asarray(rng.standard_normal((h, t, t)).astype(np.float32) * 0.1, dtype)
+    gate = jnp.asarray(rng.uniform(1.0, 2.0, (b, h, t)).astype(np.float32), dtype)
 
     def xla_step(q, k, v):
         bias = gate[..., None] * pos_bias[None]
@@ -54,6 +56,37 @@ def main() -> None:
         return gated_bias_attention(
             q, k, v, pos_bias=pos_bias, gate=gate, scale=d**-0.5, block_b=args.block_b
         )
+
+    # Third contender: JAX's tuned TPU flash-attention kernel. It only takes a
+    # materialized [B, H, T, T] additive bias (`ab`), so the gate x shared-bias
+    # product must round-trip HBM — the very traffic the XLA path fuses away.
+    # Measured to settle whether the stock kernel's block pipelining outweighs
+    # that extra stream at BEATs shapes (T=248 padded to 256 for block_k).
+    def make_flash_step():
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            BlockSizes,
+            flash_attention,
+        )
+
+        t_pad = -(-t // 128) * 128
+        blocks = BlockSizes(
+            block_q=min(t_pad, 256),
+            block_k_major=min(t_pad, 256),
+            block_k=min(t_pad, 128),
+            block_b=1,
+        )
+
+        def flash_step(q, k, v):
+            widths = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
+            qp, kp, vp = (jnp.pad(x, widths) for x in (q, k, v))
+            ab = gate[..., None] * pos_bias[None]
+            ab = jnp.pad(ab, ((0, 0), (0, 0), (0, t_pad - t), (0, t_pad - t)),
+                         constant_values=-1e9)
+            out = flash_attention(qp, kp, vp, ab=ab, sm_scale=d**-0.5,
+                                  block_sizes=blocks)
+            return out[:, :, :t, :]
+
+        return flash_step
 
     def scan_loop(step):
         def run(q, k, v):
@@ -67,7 +100,10 @@ def main() -> None:
         return jax.jit(run)
 
     results = {}
-    for name, step in (("xla", xla_step), ("pallas", pallas_step)):
+    contenders = [("xla", xla_step), ("pallas", pallas_step)]
+    if jax.default_backend() == "tpu":  # Mosaic kernel needs real hardware
+        contenders.append(("flash", make_flash_step()))
+    for name, step in contenders:
         fn = scan_loop(step)
         float(fn(q, k, v))  # compile + warmup
         best = float("inf")
@@ -80,12 +116,16 @@ def main() -> None:
     out = {
         "metric": "gated_bias_attention",
         "shape": f"B{b}xH{h}xT{t}xD{d}",
+        "dtype": args.dtype,
         "block_b": args.block_b,
         "xla_clips_per_sec": round(results["xla"], 1),
         "pallas_clips_per_sec": round(results["pallas"], 1),
         "pallas_vs_xla": round(results["pallas"] / results["xla"], 3),
         "backend": jax.default_backend(),
     }
+    if "flash" in results:
+        out["flash_clips_per_sec"] = round(results["flash"], 1)
+        out["flash_vs_xla"] = round(results["flash"] / results["xla"], 3)
     print(json.dumps(out))
 
 
