@@ -103,10 +103,9 @@ def test_mixup_is_convex_in_audio_and_labels():
     # one-hot rows mix to a distribution: rows still sum to 1, stay in [0,1]
     np.testing.assert_allclose(out["label"].sum(axis=1), 1.0, rtol=1e-6)
     assert out["label"].min() >= 0.0 and out["label"].max() <= 1.0
-    # audio bounded by the per-position min/max of the originals (convexity,
-    # single mixup round: lam*x + (1-lam)*x[perm])
-    lo = np.minimum.reduce([batch["raw_wav"], batch["raw_wav"]]).min()
-    assert out["raw_wav"].min() >= batch["raw_wav"].min() - 1e-6 >= lo - 1e-6
+    # audio stays within the originals' range (convexity of
+    # lam*x + (1-lam)*x[perm] with lam in [0, 1])
+    assert out["raw_wav"].min() >= batch["raw_wav"].min() - 1e-6
     assert out["raw_wav"].max() <= batch["raw_wav"].max() + 1e-6
 
 
