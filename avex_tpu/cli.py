@@ -164,5 +164,55 @@ def embed(model_name, input_path, output_path, layers, aggregation,
     )
 
 
+@cli.command()
+@click.option("-m", "--model", "model_name", required=True, help="registry key or spec YAML")
+@click.option("--host", default="127.0.0.1", show_default=True)
+@click.option("--port", default=8000, type=int, show_default=True,
+              help="0 binds an ephemeral port")
+@click.option("--mode", default="embed", type=click.Choice(["embed", "logits"]),
+              show_default=True)
+@click.option("--layers", default="last_layer", help="comma list of layer selectors")
+@click.option("--aggregation", default="mean",
+              type=click.Choice(["mean", "max", "cls_token"]), show_default=True)
+@click.option("--clip-seconds", default=5.0, type=float, show_default=True)
+@click.option("--max-batch", default=32, type=int, show_default=True,
+              help="micro-batch ceiling (power-of-two buckets up to this)")
+@click.option("--max-wait-ms", default=10.0, type=float, show_default=True,
+              help="how long the batcher waits to coalesce concurrent requests")
+@click.option("--random-weights", is_flag=True, help="skip checkpoint download (offline)")
+@click.option("--no-warmup", is_flag=True, help="skip ahead-of-traffic compilation")
+def serve(model_name, host, port, mode, layers, aggregation, clip_seconds,
+          max_batch, max_wait_ms, random_weights, no_warmup) -> None:
+    """Serve a model over HTTP with TPU micro-batching (see avex_tpu.serving)."""
+    from avex_tpu.models.load import load_model
+    from avex_tpu.serving import AvexHTTPServer, InferenceService, ServiceConfig
+    from avex_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    model = load_model(model_name, return_features_only=(mode == "embed"),
+                       random_weights=random_weights)
+    config = ServiceConfig(
+        clip_seconds=clip_seconds,
+        max_batch=max_batch,
+        max_wait_ms=max_wait_ms,
+        mode=mode,
+        layers=[s.strip() for s in layers.split(",") if s.strip()],
+        aggregation=aggregation,
+    )
+    service = InferenceService(model, config)
+    if not no_warmup:
+        click.echo("Warming up (compiling bucket-1 and max-batch programs)...")
+        service.warmup()
+    server = AvexHTTPServer(service, host=host, port=port)
+    click.echo(f"Serving {model_name} ({mode}) on http://{server.host}:{server.port}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+        service.close()
+
+
 if __name__ == "__main__":
     cli()

@@ -281,6 +281,9 @@ def run_experiment(
 def main(config: EvaluateConfig) -> List[Dict[str, Any]]:
     """Iterate experiments × evaluation sets, reusing frozen backbones
     (≈ run_evaluate.py:1028-1162)."""
+    from avex_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     save_dir = Path(config.save_dir)
     save_dir.mkdir(parents=True, exist_ok=True)
     results: List[Dict[str, Any]] = []

@@ -23,6 +23,9 @@ logger = logging.getLogger(__name__)
 
 def main(config: RunConfig) -> Dict[str, Any]:
     """Run one training job and return the Trainer's result summary."""
+    from avex_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if config.distributed:
         init_multihost()
 

@@ -1,0 +1,139 @@
+"""Stdlib HTTP front end for :class:`~avex_tpu.serving.InferenceService`.
+
+A deliberately dependency-free server (``http.server.ThreadingHTTPServer``):
+each request thread decodes its payload on the host and blocks on the
+service's Future, so concurrent requests coalesce into one device batch —
+the HTTP thread pool is the natural producer side of the micro-batcher.
+
+Endpoints:
+
+- ``POST /embed`` (or ``/logits``): one audio clip per request. Payload is
+  sniffed by magic bytes: ``.npy`` (float waveform; pass ``?sr=`` if not at
+  the model rate), RIFF/WAV, FLAC, or JSON ``{"wav": [...], "sr": 16000}``.
+  Response: ``{"output": [...], "shape": [...]}``.
+- ``GET /healthz``: liveness.
+- ``GET /info``: model/service metadata + batching stats.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional, Tuple
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+__all__ = ["AvexHTTPServer"]
+
+
+def _decode_payload(body: bytes, sr_hint: Optional[int]) -> Tuple[np.ndarray, Optional[int]]:
+    """Sniff and decode one request body into (waveform, sample_rate).
+
+    sample_rate ``None`` means "already at the model rate" (npy/JSON without
+    an explicit ``sr``).
+    """
+    if body[:6] == b"\x93NUMPY":
+        wav = np.load(io.BytesIO(body), allow_pickle=False)
+        return np.asarray(wav, np.float32), sr_hint
+    if body[:4] in (b"RIFF", b"fLaC"):
+        from avex_tpu._native import decode_audio_bytes
+
+        wav, sr = decode_audio_bytes(body, mono=True)
+        return wav, sr
+    payload = json.loads(body.decode("utf-8"))
+    wav = np.asarray(payload["wav"], np.float32)
+    return wav, payload.get("sr", sr_hint)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    service = None  # injected by AvexHTTPServer via a subclass attribute
+    server_version = "avex-tpu"
+
+    def log_message(self, *args) -> None:
+        """Suppress stdlib per-request stderr logging."""
+
+    def _send(self, code: int, obj: Any) -> None:
+        data = json.dumps(obj).encode("utf-8")
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self) -> None:  # noqa: N802 (stdlib API)
+        """Route GET /healthz and /info."""
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._send(200, {"status": "ok"})
+        elif path == "/info":
+            self._send(200, self.service.info())
+        else:
+            self._send(404, {"error": f"unknown path {path}"})
+
+    def do_POST(self) -> None:  # noqa: N802 (stdlib API)
+        """Route POST /embed|/logits: decode payload, submit, await the row."""
+        url = urlparse(self.path)
+        mode = url.path.lstrip("/")
+        if mode not in ("embed", "logits"):
+            self._send(404, {"error": f"unknown path {url.path}"})
+            return
+        if mode != self.service.config.mode:
+            self._send(
+                409,
+                {"error": f"service is configured for mode={self.service.config.mode!r}"},
+            )
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            query = parse_qs(url.query)
+            sr = int(query["sr"][0]) if "sr" in query else None
+            wav, wav_sr = _decode_payload(body, sr)
+            out = np.asarray(self.service.submit(wav, sr=wav_sr).result())
+            self._send(200, {"output": out.tolist(), "shape": list(out.shape)})
+        except Exception as err:  # noqa: BLE001 — map to a 400, never crash the server
+            self._send(400, {"error": f"{type(err).__name__}: {err}"})
+
+
+class AvexHTTPServer:
+    """Threaded HTTP server bound to an :class:`InferenceService`.
+
+    ``port=0`` binds an ephemeral port (read it back from ``.port``) — used
+    by tests and by schedulers that allocate ports externally.
+    """
+
+    def __init__(self, service, host: str = "127.0.0.1", port: int = 0) -> None:
+        handler = type("_BoundHandler", (_Handler,), {"service": service})
+        self._httpd = ThreadingHTTPServer((host, port), handler)
+        self.service = service
+        self.host = host
+        self.port = self._httpd.server_address[1]
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "AvexHTTPServer":
+        """Serve on a daemon thread; returns self for ``with``-style use."""
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True, name="avex-http"
+        )
+        self._thread.start()
+        return self
+
+    def serve_forever(self) -> None:
+        """Serve on the calling thread (the CLI foreground path)."""
+        self._httpd.serve_forever()
+
+    def stop(self) -> None:
+        """Shut down the listener and join the serving thread."""
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+
+    def __enter__(self) -> "AvexHTTPServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()

@@ -10,6 +10,9 @@ import time.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Hermetic tests: never write the user-level persistent compilation cache
+# (test_compile_cache.py opts back in against tmp dirs).
+os.environ.setdefault("AVEX_COMPILE_CACHE", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -35,3 +35,11 @@ def test_long_recording_inference_synthetic():
 
 def test_train_probe_on_cached_embeddings():
     _run("train_probe_on_cached_embeddings.py")
+
+
+def test_serve_and_query():
+    _run("serve_and_query.py")
+
+
+def test_custom_model_registration():
+    _run("custom_model_registration.py")

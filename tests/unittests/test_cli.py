@@ -193,3 +193,42 @@ def test_sweep_runner_dry_run(tmp_path):
     assert len(lines) == 4  # 2 x 2 grid
     assert "training_params.lr=0.001" in lines[0]
     assert "run_name=sweep_3" in lines[3]
+
+
+@pytest.mark.slow  # two full-size BEATs embeds (~60 s)
+def test_embed_command_npy_sr_resamples(tmp_path):
+    """--npy-sr: a .npy clip recorded at a different rate is resampled to the
+    model's rate before embedding (round-2 advisor finding). The flagged run
+    must match embedding the explicitly-resampled waveform exactly."""
+    import numpy as np
+
+    from avex_tpu._native import resample
+    from avex_tpu.evaluation import load_cached_embeddings
+
+    rng = np.random.default_rng(7)
+    t = np.arange(8000) / 8000.0
+    tone_8k = (0.3 * np.sin(2 * np.pi * 440 * t) + 0.01 * rng.standard_normal(8000)).astype(
+        np.float32
+    )
+
+    dir_a = tmp_path / "a"
+    dir_a.mkdir()
+    np.save(dir_a / "clip.npy", tone_8k)
+    dir_b = tmp_path / "b"
+    dir_b.mkdir()
+    np.save(dir_b / "clip.npy", resample(tone_8k, 8000, 16000))
+
+    outs = []
+    for src, extra in ((dir_a, ["--npy-sr", "8000"]), (dir_b, [])):
+        out = tmp_path / f"{src.name}.h5"
+        result = CliRunner().invoke(
+            cli,
+            ["embed", "-m", "esp_aves2_sl_beats_all", "-i", str(src), "-o", str(out),
+             "--random-weights", "--clip-seconds", "1", *extra],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        embs, _labels, _meta = load_cached_embeddings(out)
+        outs.append(np.asarray(embs[0]))
+
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-6)

@@ -85,3 +85,40 @@ def test_adamw8bit_reduced_moment_dtype():
     ]
     assert found, "first moment should be stored in bfloat16"
     del mu
+
+
+def test_make_optimizer_scheduler_config_overrides_params():
+    """SchedulerConfig, when present, wins over TrainingParams.scheduler_type
+    (the reference's trainer_factory wiring precedence)."""
+    from avex_tpu.configs import SchedulerConfig, TrainingParams
+    from avex_tpu.training.optimizers import make_optimizer
+
+    tp = TrainingParams(lr=1e-3, train_epochs=1, batch_size=4, scheduler_type="linear")
+    sched_cfg = SchedulerConfig(name="cosine", warmup_steps=4)
+    _, schedule = make_optimizer(tp, sched_cfg, total_steps=100)
+    # cosine with warmup: starts at 0, peaks at base lr after warmup
+    assert float(schedule(0)) == pytest.approx(0.0, abs=1e-9)
+    assert float(schedule(4)) == pytest.approx(1e-3, rel=1e-5)
+    assert float(schedule(100)) < float(schedule(4))
+
+
+def test_make_optimizer_falls_back_to_params_scheduler_type():
+    from avex_tpu.configs import TrainingParams
+    from avex_tpu.training.optimizers import make_optimizer
+
+    tp = TrainingParams(lr=2e-4, train_epochs=1, batch_size=4, scheduler_type="linear")
+    _, schedule = make_optimizer(tp, None, total_steps=50)
+    # linear decay with no warmup: step 1 at base lr, decaying afterwards
+    assert float(schedule(1)) == pytest.approx(2e-4, rel=1e-5)
+    assert float(schedule(50)) < 2e-4 * 0.1
+
+
+def test_make_optimizer_lr_override_wins():
+    """The two-stage fine-tune path rebuilds the optimizer at 0.1x lr via
+    lr_override (reference train.py:704-751)."""
+    from avex_tpu.configs import TrainingParams
+    from avex_tpu.training.optimizers import make_optimizer
+
+    tp = TrainingParams(lr=1e-3, train_epochs=1, batch_size=4)
+    _, schedule = make_optimizer(tp, None, total_steps=10, lr_override=1e-4)
+    assert float(schedule(0)) == pytest.approx(1e-4, rel=1e-6)
