@@ -166,6 +166,53 @@ def embed(model_name, input_path, output_path, layers, aggregation,
 
 @cli.command()
 @click.option("-m", "--model", "model_name", required=True, help="registry key or spec YAML")
+@click.option("-o", "--output", "output_path", required=True, type=str,
+              help="SavedModel directory or .tflite file")
+@click.option("--format", "fmt", default=None,
+              type=click.Choice(["savedmodel", "tflite"]),
+              help="default: tflite when output ends in .tflite, else savedmodel")
+@click.option("--mode", default="embed", type=click.Choice(["embed", "logits"]),
+              show_default=True)
+@click.option("--layers", default="last_layer", help="comma list of layer selectors")
+@click.option("--aggregation", default="mean",
+              type=click.Choice(["mean", "max", "cls_token"]), show_default=True)
+@click.option("--clip-seconds", default=5.0, type=float, show_default=True)
+@click.option("--batch-size", default=None, type=int,
+              help="pin the batch axis (default: polymorphic for savedmodel, 1 for tflite)")
+@click.option("--quantize-float16", is_flag=True,
+              help="tflite only: float16 weight quantization (~half the artifact)")
+@click.option("--random-weights", is_flag=True, help="skip checkpoint download (offline)")
+def export(model_name, output_path, fmt, mode, layers, aggregation, clip_seconds,
+           batch_size, quantize_float16, random_weights) -> None:
+    """Export a model to TF SavedModel / TFLite for edge + TF-Serving deployment
+    (the formats BirdNet and Perch ship in; see avex_tpu.export)."""
+    from avex_tpu.export import export_savedmodel, export_tflite
+    from avex_tpu.models.load import load_model
+
+    if fmt is None:
+        fmt = "tflite" if output_path.endswith(".tflite") else "savedmodel"
+    model = load_model(model_name, return_features_only=(mode == "embed"),
+                       random_weights=random_weights)
+    layer_list = [s.strip() for s in layers.split(",") if s.strip()]
+    if fmt == "tflite":
+        blob = export_tflite(
+            model, output_path, mode=mode, layers=layer_list, aggregation=aggregation,
+            clip_seconds=clip_seconds, batch_size=batch_size or 1,
+            quantize_float16=quantize_float16,
+        )
+        click.echo(f"TFLite model written to {output_path} ({len(blob)} bytes)")
+    else:
+        if quantize_float16:
+            raise click.ClickException("--quantize-float16 applies to tflite exports only")
+        export_savedmodel(
+            model, output_path, mode=mode, layers=layer_list, aggregation=aggregation,
+            clip_seconds=clip_seconds, batch_size=batch_size,
+        )
+        click.echo(f"SavedModel exported to {output_path}")
+
+
+@cli.command()
+@click.option("-m", "--model", "model_name", required=True, help="registry key or spec YAML")
 @click.option("--host", default="127.0.0.1", show_default=True)
 @click.option("--port", default=8000, type=int, show_default=True,
               help="0 binds an ephemeral port")

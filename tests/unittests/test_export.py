@@ -1,0 +1,169 @@
+"""Export subsystem: jax2tf SavedModel / TFLite round-trips.
+
+avex-tpu addition (reference ships no exporter — but its deployment targets
+are exactly these formats: TFLite for BirdNet, birdnet.py:273-359; SavedModel
+for Perch, perch.py:26-47). The contract under test: an exported artifact,
+run by TF/TFLite with no JAX anywhere, reproduces the JAX model's outputs.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+import avex_tpu
+from avex_tpu.configs import ModelSpec
+
+tf = pytest.importorskip("tensorflow")
+
+# TF import + per-test jax2tf conversion keep this module out of the fast tier.
+pytestmark = pytest.mark.slow
+
+
+def _tiny_spec():
+    return ModelSpec(
+        name="beats",
+        pretrained=False,
+        init_config={
+            "encoder_layers": 1,
+            "encoder_embed_dim": 64,
+            "encoder_ffn_embed_dim": 128,
+            "encoder_attention_heads": 4,
+            "embed_dim": 32,
+            "dropout": 0.0,
+            "attention_dropout": 0.0,
+            "encoder_layerdrop": 0.0,
+        },
+        audio_config={"representation": "raw", "normalize": False},
+    )
+
+
+@pytest.fixture(scope="module")
+def model():
+    return avex_tpu.build_model_from_spec(_tiny_spec())
+
+
+@pytest.fixture(scope="module")
+def clip_batch():
+    rng = np.random.default_rng(11)
+    return (rng.standard_normal((3, 16000)) * 0.1).astype(np.float32)
+
+
+def _jax_embedding(model, wavs):
+    model.register_hooks_for_layers(["last_layer"])
+    return np.asarray(
+        model.extract_embeddings(wavs, aggregation="mean")
+    )
+
+
+def test_savedmodel_roundtrip_polymorphic_batch(model, clip_batch, tmp_path):
+    """Polymorphic-batch SavedModel matches JAX for two different batch sizes
+    through one exported artifact."""
+    from avex_tpu.export import export_savedmodel
+
+    out = export_savedmodel(
+        model, tmp_path / "sm", mode="embed", layers=["last_layer"],
+        aggregation="mean", clip_seconds=1.0,
+    )
+    loaded = tf.saved_model.load(str(out))
+    serve = loaded.signatures["serving_default"]
+    for n in (1, 3):
+        got = serve(waveform=tf.constant(clip_batch[:n]))["output"].numpy()
+        want = _jax_embedding(model, clip_batch[:n])
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_savedmodel_metadata_sidecar(model, tmp_path):
+    from avex_tpu.export import export_savedmodel
+
+    out = export_savedmodel(
+        model, tmp_path / "sm", mode="embed", clip_seconds=1.0,
+    )
+    meta = json.loads((out / "avex_tpu_export.json").read_text())
+    assert meta["mode"] == "embed"
+    assert meta["n_samples"] == 16000
+    assert meta["sample_rate"] == 16000
+    assert meta["layers"] == ["last_layer"]
+
+
+def test_tflite_roundtrip_embed(model, clip_batch, tmp_path):
+    """TFLite flatbuffer runs under tf.lite.Interpreter (zero JAX) and
+    matches the JAX embeddings."""
+    from avex_tpu.export import export_tflite
+
+    path = tmp_path / "m.tflite"
+    blob = export_tflite(
+        model, path, mode="embed", layers=["last_layer"], aggregation="mean",
+        clip_seconds=1.0, batch_size=1,
+    )
+    assert path.read_bytes() == blob
+    interp = tf.lite.Interpreter(model_content=blob)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    outd = interp.get_output_details()[0]
+    assert tuple(inp["shape"]) == (1, 16000)
+    interp.set_tensor(inp["index"], clip_batch[:1])
+    interp.invoke()
+    got = interp.get_tensor(outd["index"])
+    want = _jax_embedding(model, clip_batch[:1])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_tflite_float16_quantization_shrinks_and_stays_close(model, clip_batch):
+    from avex_tpu.export import export_tflite
+
+    full = export_tflite(model, mode="embed", clip_seconds=1.0)
+    quant = export_tflite(model, mode="embed", clip_seconds=1.0, quantize_float16=True)
+    assert len(quant) < 0.75 * len(full)
+
+    interp = tf.lite.Interpreter(model_content=quant)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    outd = interp.get_output_details()[0]
+    interp.set_tensor(inp["index"], clip_batch[:1])
+    interp.invoke()
+    got = interp.get_tensor(outd["index"])
+    want = _jax_embedding(model, clip_batch[:1])
+    # float16 weights: expect ~1e-3-level drift, same ballpark as bf16.
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-3
+
+
+def test_logits_mode_exports_classifier_head(clip_batch, tmp_path):
+    """mode='logits' exports the classifier forward (frontend in-graph)."""
+    from avex_tpu.export import export_savedmodel
+
+    model = avex_tpu.build_model_from_spec(_tiny_spec(), num_classes=7)
+    out = export_savedmodel(
+        model, tmp_path / "sm", mode="logits", clip_seconds=1.0, batch_size=2,
+    )
+    loaded = tf.saved_model.load(str(out))
+    serve = loaded.signatures["serving_default"]
+    got = serve(waveform=tf.constant(clip_batch[:2]))["output"].numpy()
+    assert got.shape == (2, 7)
+    want = np.asarray(model.forward(model.process_audio(clip_batch[:2])))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_cli_export_tflite(tmp_path):
+    """avex-tpu export: spec YAML → .tflite artifact on disk."""
+    import yaml
+    from click.testing import CliRunner
+
+    from avex_tpu.cli import cli
+
+    spec_path = tmp_path / "tiny.yml"
+    spec_path.write_text(yaml.safe_dump(_tiny_spec().model_dump(exclude_none=True)))
+    out = tmp_path / "tiny.tflite"
+    result = CliRunner().invoke(
+        cli,
+        ["export", "-m", str(spec_path), "-o", str(out), "--clip-seconds", "1",
+         "--random-weights"],
+        catch_exceptions=False,
+    )
+    assert result.exit_code == 0, result.output
+    assert out.stat().st_size > 1000
+    interp = tf.lite.Interpreter(model_path=str(out))
+    interp.allocate_tensors()
+    assert tuple(interp.get_input_details()[0]["shape"]) == (1, 16000)
