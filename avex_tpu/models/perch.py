@@ -200,6 +200,24 @@ class Model(ModelBase):
         logits, pooled = self._jit(("perch_infer",), fwd)(self.variables, spec)
         return {"logits": logits, "embedding": pooled}
 
+    def extract_fn(self, layers, aggregation):
+        """Pure ``(variables, wav, mask) → 1280-d pooled embedding``.
+
+        Perch has exactly one logical tap (the pooled embedding — the
+        reference's TF graph exposes nothing else, perch.py:117-152), so
+        ``layers``/``aggregation`` are accepted for interface parity and
+        ignored. The frontend (``_prepare``) is pure JAX, so this composes
+        under jit (online probes, serving, export, benches)."""
+
+        def extract(variables, x, padding_mask):
+            spec = self._prepare(x)
+            _logits, aux = self.module.apply(
+                variables, spec, None, **self._apply_kwargs()
+            )
+            return aux["pooled"]
+
+        return extract
+
     def extract_embeddings(self, x, padding_mask=None, aggregation="none", **_kw):
         """1280-d pooled embedding (the reference's only tap, perch.py:117-152)."""
         if isinstance(x, dict):

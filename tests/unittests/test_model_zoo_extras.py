@@ -87,6 +87,13 @@ def test_perch_interface(rng):
     # >5s input center-crops
     long_wav = rng.standard_normal((1, 200000)).astype(np.float32) * 0.1
     assert model.infer(long_wav)["logits"].shape == (1, 10932)
+    # extract_fn is pure and jit-composable (online probes/serving/export
+    # compose it into larger programs) and matches extract_embeddings.
+    import jax
+
+    fn = jax.jit(model.extract_fn(("embedding",), "none"))
+    pure = np.asarray(fn(model.variables, wav, None))
+    np.testing.assert_allclose(pure, np.asarray(emb), rtol=1e-5, atol=1e-6)
 
 
 def test_surfperch_class_resolution():
