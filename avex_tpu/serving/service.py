@@ -142,6 +142,7 @@ class InferenceService:
         while True:
             item = self._queue.get()
             if item is None:
+                self._fail_pending()
                 return
             batch = [item]
             deadline = time.monotonic() + self.config.max_wait_ms / 1000.0
@@ -155,9 +156,21 @@ class InferenceService:
                     break
                 if nxt is None:
                     self._dispatch(batch)
+                    self._fail_pending()
                     return
                 batch.append(nxt)
             self._dispatch(batch)
+
+    def _fail_pending(self) -> None:
+        """Resolve requests that raced :meth:`close` past the shutdown
+        sentinel — their Futures must not hang forever."""
+        while True:
+            try:
+                nxt = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if nxt is not None:
+                nxt[2].set_exception(RuntimeError("service is closed"))
 
     def _dispatch(self, batch: List[tuple]) -> None:
         clips = np.stack([b[0] for b in batch])

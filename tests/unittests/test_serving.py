@@ -249,3 +249,25 @@ def test_payload_sniffing(tmp_path):
         json.dumps({"wav": tone[:16].tolist(), "sr": 8000}).encode(), None
     )
     assert sr == 8000 and wav.shape == (16,)
+
+
+def test_close_resolves_raced_submissions(model):
+    """A submission that lands behind the shutdown sentinel must resolve
+    (with an error), never hang its Future forever."""
+    from concurrent.futures import Future
+
+    service = InferenceService(model, ServiceConfig(clip_seconds=0.5, max_batch=2))
+    try:
+        # Enqueue directly behind the sentinel, simulating the close() race
+        # (submit() itself refuses once _closed flips).
+        clip = np.zeros(8000, np.float32)
+        mask = np.ones(8000, bool)
+        raced: Future = Future()
+        service._queue.put(None)
+        service._queue.put((clip, mask, raced))
+        with pytest.raises(RuntimeError, match="closed"):
+            raced.result(timeout=30)
+        service._thread.join(timeout=30)
+        assert service._queue.qsize() == 0
+    finally:
+        service.close()
