@@ -228,8 +228,11 @@ def export(model_name, output_path, fmt, mode, layers, aggregation, clip_seconds
               help="how long the batcher waits to coalesce concurrent requests")
 @click.option("--random-weights", is_flag=True, help="skip checkpoint download (offline)")
 @click.option("--no-warmup", is_flag=True, help="skip ahead-of-traffic compilation")
+@click.option("--quantization", default=None, type=click.Choice(["int8"]),
+              help="W8A8 dynamic-int8 serving mode (halves encoder-weight "
+                   "HBM; see avex_tpu.quant for the perf/quality envelope)")
 def serve(model_name, host, port, mode, layers, aggregation, clip_seconds,
-          max_batch, max_wait_ms, random_weights, no_warmup) -> None:
+          max_batch, max_wait_ms, random_weights, no_warmup, quantization) -> None:
     """Serve a model over HTTP with TPU micro-batching (see avex_tpu.serving)."""
     from avex_tpu.models.load import load_model
     from avex_tpu.serving import AvexHTTPServer, InferenceService, ServiceConfig
@@ -237,7 +240,7 @@ def serve(model_name, host, port, mode, layers, aggregation, clip_seconds,
 
     enable_compilation_cache()
     model = load_model(model_name, return_features_only=(mode == "embed"),
-                       random_weights=random_weights)
+                       random_weights=random_weights, quantization=quantization)
     config = ServiceConfig(
         clip_seconds=clip_seconds,
         max_batch=max_batch,

@@ -313,6 +313,16 @@ class ModelBase:
         """Install converted reference-checkpoint weights; see subclasses."""
         raise NotImplementedError
 
+    def quantize(self, mode: str = "int8") -> None:
+        """Convert to a quantized inference mode (see ``avex_tpu.quant``).
+
+        Supported by the transformer-encoder architectures; one-way and
+        inference-only.
+        """
+        raise NotImplementedError(
+            f"{type(self).__name__} does not support quantization."
+        )
+
     @property
     def params(self):
         """The trainable parameter subtree of ``variables``."""

@@ -142,6 +142,9 @@ class _GatedRelPosAttention(nn.Module):
     #: XLA's projection→attention fusion), so it stays OFF by default;
     #: reproduce with AVEX_ABLATE=fusedqkv scripts/bench_ablation.py.
     fused_qkv: bool = False
+    #: W8A8 dynamic int8 projections (q/k/v/out) on the 2x-rate int8 MXU
+    #: path — serving mode, converted via Model.quantize() (avex_tpu.quant).
+    quantize: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -154,9 +157,14 @@ class _GatedRelPosAttention(nn.Module):
     ) -> jnp.ndarray:
         bsz, seq, _ = x.shape
         head_dim = self.embed_dim // self.num_heads
-        dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)  # noqa: E731
+        if self.quantize:
+            from avex_tpu.quant import Int8Dense
 
-        if self.fused_qkv:
+            dense = lambda name: Int8Dense(self.embed_dim, dtype=self.dtype, name=name)  # noqa: E731
+        else:
+            dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)  # noqa: E731
+
+        if self.fused_qkv and not self.quantize:
             qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="qkv_proj")(x)
             qkv = qkv.reshape(bsz, seq, 3, self.num_heads, head_dim)
             q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
@@ -231,6 +239,7 @@ class _EncoderLayer(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         cfg = self.cfg
         alpha = math.pow(2 * cfg.encoder_layers, 0.25) if cfg.deep_norm else 1.0
+        quantize = bool(getattr(cfg, "quantize_encoder", False))
         attn = _GatedRelPosAttention(
             embed_dim=cfg.encoder_embed_dim,
             num_heads=cfg.encoder_attention_heads,
@@ -239,13 +248,20 @@ class _EncoderLayer(nn.Module):
             use_pallas=bool(getattr(cfg, "use_pallas", False)),
             fast_attention=getattr(cfg, "fast_attention", None),
             fused_qkv=bool(getattr(cfg, "fused_qkv", False)),
+            quantize=quantize,
             dtype=self.dtype,
             name="self_attn",
         )
         ln_attn = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="self_attn_layer_norm")
         ln_final = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="final_layer_norm")
-        fc1 = nn.Dense(cfg.encoder_ffn_embed_dim, dtype=self.dtype, name="fc1")
-        fc2 = nn.Dense(cfg.encoder_embed_dim, dtype=self.dtype, name="fc2")
+        if quantize:
+            from avex_tpu.quant import Int8Dense
+
+            fc1 = Int8Dense(cfg.encoder_ffn_embed_dim, dtype=self.dtype, name="fc1")
+            fc2 = Int8Dense(cfg.encoder_embed_dim, dtype=self.dtype, name="fc2")
+        else:
+            fc1 = nn.Dense(cfg.encoder_ffn_embed_dim, dtype=self.dtype, name="fc1")
+            fc2 = nn.Dense(cfg.encoder_embed_dim, dtype=self.dtype, name="fc2")
         drop = nn.Dropout(cfg.dropout)
         drop_act = nn.Dropout(cfg.activation_dropout)
 
@@ -713,6 +729,26 @@ def convert_beats_state_dict(
     return {"params": params}
 
 
+#: Encoder dense layers eligible for int8 (everything on the MXU hot path;
+#: grep_linear, pos_conv, patch embed, classifier stay float).
+ENCODER_QUANT_DENSES = frozenset({"q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"})
+
+
+def quantize_beats_params(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Quantize a BEATs param pytree's encoder denses to int8 (W8 half).
+
+    Works on both the unrolled (``layers_{i}``) and nn.scan-stacked
+    (``layers`` with a leading layer axis) layouts — per-channel scales are
+    computed per stacked layer.
+    """
+    from avex_tpu.quant import quantize_params
+
+    return quantize_params(
+        params,
+        include=lambda path: "encoder" in path and path[-1] in ENCODER_QUANT_DENSES,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registered wrapper (architecture name: "beats")
 # ---------------------------------------------------------------------------
@@ -815,4 +851,31 @@ class Model(ModelBase):
             use_naturelm=self.use_naturelm,
             dtype=self.module.dtype,
         )
+        self._jit_cache.clear()
+
+    def quantize(self, mode: str = "int8") -> None:
+        """Convert to W8A8 dynamic-int8 encoder inference (serving mode).
+
+        Folds every encoder dense projection (q/k/v/out, fc1, fc2) to
+        symmetric per-channel int8 and rebuilds the module on the int8 MXU
+        path (``avex_tpu.quant``). One-way and inference-only: quantized
+        kernels carry no gradients. The frontend, patch embed, pos_conv,
+        rel-pos table, gate, and classifier stay in float — they are a few
+        percent of the FLOPs and the quality-sensitive parts.
+        """
+        if mode != "int8":
+            raise ValueError(f"Unsupported quantization mode: {mode!r} (only 'int8')")
+        if getattr(self.cfg, "quantize_encoder", False):
+            return  # already quantized
+        if bool(getattr(self.cfg, "fused_qkv", False)):
+            raise ValueError("quantize() is incompatible with fused_qkv; rebuild without it.")
+        self.cfg = self.cfg.model_copy(update={"quantize_encoder": True})
+        self.module = BEATsModel(
+            cfg=self.cfg,
+            num_classes=self.num_classes,
+            use_naturelm=self.use_naturelm,
+            dtype=self.module.dtype,
+        )
+        self.variables = dict(self.variables)
+        self.variables["params"] = quantize_beats_params(self.variables["params"])
         self._jit_cache.clear()

@@ -90,6 +90,7 @@ def load_model(
     return_features_only: bool = False,
     num_classes: Optional[int] = None,
     random_weights: bool = False,
+    quantization: Optional[str] = None,
     **overrides: Any,
 ):
     """Load a ready-to-run model with weights and label mapping attached.
@@ -103,6 +104,9 @@ def load_model(
             returns frame-level features.
         num_classes: explicit head size (otherwise inferred).
         random_weights: skip checkpoint loading entirely (useful offline).
+        quantization: ``"int8"`` converts the loaded weights to the W8A8
+            dynamic-int8 serving mode (``avex_tpu.quant``) after checkpoint
+            load — inference-only; no reference equivalent.
     """
     spec, default_ckpt, label_map_path = _resolve_spec(source)
     resolved_ckpt = checkpoint_path or default_ckpt
@@ -143,4 +147,6 @@ def load_model(
     if state is not None:
         model.load_state_dict(state)
         model.loaded_checkpoint = resolved_ckpt
+    if quantization is not None:
+        model.quantize(quantization)
     return model

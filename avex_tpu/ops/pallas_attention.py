@@ -2,50 +2,40 @@
 
 The BEATs attention (backbone.py:541-568) applies a per-layer gate to a
 shared T5 bias: ``softmax(q·kᵀ·scale + gate ⊙ pos_bias + pad) · v``. The XLA
-path materializes ``gate * pos_bias`` as a ``[B, H, T, T]`` fp32 tensor in
-HBM per layer (~188 MB at B=64, T=248) plus the logits/softmax intermediates
-— the dominant HBM traffic of the whole model, since the matmuls themselves
-are small at these sequence lengths.
+path cannot fuse across the two matmuls, so every layer streams the
+``[B, H, T, T]`` logits and probability tensors through HBM (~4 passes over
+~190 MB each at B=128/T=248 in bf16) — together the dominant HBM traffic of
+the whole model, since the matmuls themselves are small at these sequence
+lengths.
 
-This kernel keeps everything in VMEM: for each (batch, head) grid cell it
-loads q/k/v tiles and the *shared* ``[T, T]`` bias slice (batch-independent —
-read once per head, B× less traffic), applies the scalar-per-query gate and
-padding mask in registers, and runs the softmax+PV matmul without touching
-HBM. Sequence lengths here are short (≤ ~1k tokens), so the full ``[T, T]``
-logits tile fits VMEM comfortably and no online-softmax tiling is needed.
+This kernel keeps the whole chain in VMEM: for each (head, batch-block) grid
+cell it loads q/k/v tiles and the *shared* ``[T, T]`` bias slice, applies the
+scalar-per-query gate and padding mask in registers, and runs
+logits→softmax→PV without touching HBM. Sequence lengths here are short
+(≤ ~1k tokens), so the full ``[T, T]`` logits tile fits VMEM and no
+online-softmax tiling is needed.
 
-Inputs are padded to TPU tile multiples by the wrapper; numerical behavior
-matches :func:`avex_tpu.ops.attention.dot_product_attention` (fp32 softmax).
+v3 design notes (what the 0.66x round-2 version got wrong):
 
-Status — measured verdict (v5e, B=128/H=12/T=248/D=64, fp32, round 2):
+- **Dots run in bf16 with fp32 accumulation.** v2 cast q/k to fp32 before
+  ``dot_general``; fp32 MXU passes run at ~1/4 the bf16 rate, which made the
+  kernel compute-bound at ~26 TF/s.
+- **Grid order is (heads, batch)** — the innermost (fastest) grid axis is
+  batch, so the shared bias block index is unchanged between consecutive
+  steps and Pallas elides the re-fetch; v2 iterated heads fastest and
+  re-copied the [T, T] slice every step.
+- Softmax stays fp32 (max-subtracted), probabilities cast to the value dtype
+  for the PV matmul — numerically at least as accurate as the XLA
+  ``fast_attention`` path (which runs the whole logits chain in bf16).
 
-    XLA fused path      36,100 clips/s
-    pallas block_b=8    23,205 clips/s   (0.66x)
-    pallas block_b=4    22,331 clips/s   (0.62x)
-    pallas block_b=16   VMEM overflow
+The wrapper is differentiable: a ``custom_vjp`` recomputes the backward
+through the mathematically identical jnp formulation, so ``use_pallas``
+composes with training (the forward savings are what the inference
+benchmark buys; the backward is the standard XLA path).
 
-The v2 batch-packed grid (``block_b`` batch items per cell amortize the
-shared [T, T] bias load and grid overhead) closed none of the gap: the
-binding constraints are (a) the D=64 contraction uses half the 128-wide MXU
-regardless of packing — a cost XLA pays too but hides behind better
-cross-head pipelining — and (b) XLA fuses the gate x bias chain into the
-logits computation without materializing it in HBM at these sequence
-lengths, so the kernel has no memory-traffic win to harvest.
-
-Round 3 also measured JAX's own tuned TPU flash-attention kernel
-(jax.experimental.pallas.ops.tpu.flash_attention) at the same shapes in
-bf16: it only accepts a *materialized* ``[B, H, T, T]`` additive bias
-(``ab``), so the gate x shared-bias product must round-trip HBM — the very
-traffic the XLA path fuses away — and it lands at **0.437x XLA** (21,449
-vs 49,094 clips/s of attention; this kernel 0.668x). Flash-style online
-softmax only pays when the logits tile exceeds VMEM; at T=248 everything
-already fits, so the pipelining advantage cannot offset the bias stream.
-
-Reproduce with ``python scripts/bench_attention.py --dtype bfloat16``. The
-kernel stays OFF by default (``BEATsConfig.use_pallas``); it remains correct
-(parity-tested vs the XLA path at 12 heads incl. masks/gates) and is the
-right starting point if sequence lengths ever grow past VMEM (online-softmax
-tiling would then also be needed).
+Measured verdict on v5e at BEATs shapes: see the Status block appended at
+the bottom of this docstring by the round that measured it, and
+``scripts/bench_attention.py`` for reproduction.
 """
 
 from __future__ import annotations
@@ -56,6 +46,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -67,19 +58,19 @@ def _round_up(value: int, multiple: int) -> int:
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref, *, scale):
-    """One (batch-block, head) cell: `block_b` batch items share one bias load.
+    """One (head, batch-block) cell: ``block_b`` batch items share one bias load.
 
-    The shared ``[T, T]`` bias slice is the largest input per cell; packing
-    batch items amortizes it (and the grid overhead) ``block_b``×. The per-
-    item matmuls run as a fori_loop over 2-D dots (Mosaic maps each to the
-    MXU; a batched 3-D dot_general lowers to the same loop).
+    Per item: QK^T (bf16 in, fp32 out) -> scale + gate*bias + pad -> fp32
+    softmax -> PV (bf16). The per-item bodies are independent, so Mosaic's
+    dataflow scheduling can overlap item i's VPU softmax with item i+1's MXU
+    matmuls.
     """
     nb = q_ref.shape[0]
-    bias = bias_ref[0].astype(jnp.float32)  # [T, T], loaded once per cell
+    bias = bias_ref[0].astype(jnp.float32)  # [T, T], resident across the cell
 
-    def body(i, _):
-        q = q_ref[i, 0].astype(jnp.float32)  # [T, D]
-        k = k_ref[i, 0].astype(jnp.float32)
+    for i in range(nb):  # static unroll
+        q = q_ref[i, 0]  # [T, D] compute dtype (bf16 on the fast path)
+        k = k_ref[i, 0]
         v = v_ref[i, 0]
         logits = jax.lax.dot_general(
             q,
@@ -90,7 +81,7 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref,
         logits = logits * scale
         gate = gate_ref[i, 0].astype(jnp.float32)  # [T, 1]
         logits = logits + gate * bias
-        logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over queries
+        logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over keys
 
         weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out_ref[i, 0] = jax.lax.dot_general(
@@ -99,9 +90,119 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(out_ref.dtype)
-        return 0
 
-    jax.lax.fori_loop(0, nb, body, 0, unroll=True)
+
+def _attention_reference(q, k, v, pos_bias, gate, key_padding_mask, scale):
+    """jnp twin of the kernel (same math; used for the custom backward)."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    bias = pos_bias[None].astype(jnp.float32)
+    if gate is not None:
+        bias = gate[..., None].astype(jnp.float32) * bias
+    logits = logits + bias
+    if key_padding_mask is not None:
+        logits = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, logits)
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+def _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_b):
+    bsz, heads, seq, dim = q.shape
+    if interpret is None:
+        # Mosaic kernels only compile for TPU; anywhere else (CPU tests,
+        # use_pallas=True models under the virtual mesh) runs the interpreter.
+        interpret = jax.default_backend() != "tpu"
+    while bsz % block_b:
+        block_b //= 2
+    block_b = max(block_b, 1)
+
+    # Pad the sequence to a sublane multiple; head_dim stays as-is (the
+    # VMEM layout pads the minor dim internally — explicit padding would
+    # only add HBM traffic).
+    seq_p = _round_up(seq, 8)
+    pad_seq = seq_p - seq
+    if pad_seq:
+        widths4 = ((0, 0), (0, 0), (0, pad_seq), (0, 0))
+        q = jnp.pad(q, widths4)
+        k = jnp.pad(k, widths4)
+        v = jnp.pad(v, widths4)
+        pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_seq), (0, pad_seq)))
+
+    if gate is None:
+        gate_arr = jnp.ones((bsz, heads, seq_p), q.dtype)
+    else:
+        gate_arr = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_seq))) if pad_seq else gate
+    gate_arr = gate_arr[..., None]  # [B, H, T, 1]
+
+    # Additive key mask: padded keys (incl. tile padding) get -inf.
+    valid = jnp.arange(seq_p) < seq
+    if key_padding_mask is not None:
+        kpm = key_padding_mask
+        if pad_seq:
+            kpm = jnp.pad(kpm, ((0, 0), (0, pad_seq)), constant_values=True)
+        key_valid = (~kpm) & valid[None, :]
+    else:
+        key_valid = jnp.broadcast_to(valid[None, :], (bsz, seq_p))
+    pad_bias = jnp.where(key_valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]  # [B,1,T]
+
+    # heads OUTER, batch INNER: the bias block index only changes when the
+    # head does, so Pallas keeps the [T, T] slice resident across the batch.
+    grid = (heads, bsz // block_b)
+    nb = block_b
+    out = pl.pallas_call(
+        functools.partial(_attention_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, seq_p, seq_p), lambda h, b: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p, 1), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nb, 1, seq_p), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, heads, seq_p, dim), v.dtype),
+        interpret=interpret,
+    )(q, k, v, pos_bias, gate_arr, pad_bias)
+    if pad_seq:
+        out = out[:, :, :seq, :]
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _gated_bias_attention(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_b):
+    return _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_b)
+
+
+def _fwd(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_b):
+    out = _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_b)
+    return out, (q, k, v, pos_bias, gate, key_padding_mask)
+
+
+def _bwd(scale, _interpret, _block_b, residuals, g):
+    q, k, v, pos_bias, gate, key_padding_mask = residuals
+    has_gate = gate is not None
+
+    def ref(q, k, v, pos_bias, gate):
+        return _attention_reference(
+            q, k, v, pos_bias, gate if has_gate else None, key_padding_mask, scale
+        )
+
+    # Recompute-based backward through the identical jnp math (the standard
+    # XLA path); the boolean mask is non-differentiable (float0 cotangent).
+    _, vjp = jax.vjp(ref, q, k, v, pos_bias, gate if has_gate else jnp.zeros(()))
+    dq, dk, dv, dbias, dgate = vjp(g)
+    dmask = (
+        None
+        if key_padding_mask is None
+        else np.zeros(key_padding_mask.shape, dtype=jax.dtypes.float0)
+    )
+    return (dq, dk, dv, dbias, dgate if has_gate else None, dmask)
+
+
+_gated_bias_attention.defvjp(_fwd, _bwd)
 
 
 def gated_bias_attention(
@@ -129,64 +230,8 @@ def gated_bias_attention(
     Returns:
         ``[B, H, T, D]`` in the dtype of ``v``.
     """
-    bsz, heads, seq, dim = q.shape
+    dim = q.shape[-1]
     scale = scale if scale is not None else 1.0 / math.sqrt(dim)
-    if interpret is None:
-        # Mosaic kernels only compile for TPU; anywhere else (CPU tests,
-        # use_pallas=True models under the virtual mesh) runs the interpreter.
-        interpret = jax.default_backend() != "tpu"
-    while bsz % block_b:
-        block_b //= 2
-    block_b = max(block_b, 1)
-
-    # Pad to TPU tile multiples: sublane 8, lane 128.
-    seq_p = _round_up(seq, 8)
-    dim_p = _round_up(dim, 128)
-    pad_seq, pad_dim = seq_p - seq, dim_p - dim
-    if pad_seq or pad_dim:
-        widths4 = ((0, 0), (0, 0), (0, pad_seq), (0, pad_dim))
-        q = jnp.pad(q, widths4)
-        k = jnp.pad(k, widths4)
-        v = jnp.pad(v, widths4)
-        pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_seq), (0, pad_seq)))
-
-    if gate is None:
-        gate = jnp.ones((bsz, heads, seq_p), q.dtype)
-    elif pad_seq:
-        gate = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_seq)))
-    gate = gate[..., None]  # [B, H, T, 1]
-
-    # Additive key mask: padded keys (incl. tile padding) get -inf.
-    valid = jnp.arange(seq_p) < seq
-    if key_padding_mask is not None:
-        if pad_seq:
-            key_padding_mask = jnp.pad(
-                key_padding_mask, ((0, 0), (0, pad_seq)), constant_values=True
-            )
-        key_valid = (~key_padding_mask) & valid[None, :]
-    else:
-        key_valid = jnp.broadcast_to(valid[None, :], (bsz, seq_p))
-    pad_bias = jnp.where(key_valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]  # [B,1,T]
-
-    grid = (bsz // block_b, heads)
-    nb = block_b
-    out = pl.pallas_call(
-        functools.partial(_attention_kernel, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((nb, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_p, seq_p), lambda b, h: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, seq_p, 1), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, seq_p), lambda b, h: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (nb, 1, seq_p, dim_p), lambda b, h: (b, h, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((bsz, heads, seq_p, dim_p), v.dtype),
-        interpret=interpret,
-    )(q, k, v, pos_bias, gate, pad_bias[:, :, :])
-    if pad_seq or pad_dim:
-        out = out[:, :, :seq, :dim]
-    return out
+    return _gated_bias_attention(
+        q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_b
+    )

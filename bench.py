@@ -25,6 +25,13 @@ correct path, with fp32-parity as a secondary field):
     staging hop is RPC-transport-bound (~41 MB/batch over the wire) in a
     way no real TPU host is; loader_bound flags when the host pipeline
     falls below device throughput.
+  - int8_clips_per_sec / int8_mfu_pct / int8_bf16_rel_err: the W8A8
+    dynamic-int8 serving mode (avex_tpu.quant) and its quality cost vs the
+    headline path. Measured ~0.92x bf16 at B=128 on v5e (XLA runs the s8
+    dot at the bf16 rate — see docs/architecture.md); tracked so a
+    compiler/hardware generation that doubles the int8 rate gets caught.
+    Secondary: int8 is beyond fp32 tolerance, so it never becomes the
+    headline.
   - sweep: clips/sec at additional batch sizes (AVEX_BENCH_SWEEP, comma
     list; empty default — the budget is better spent on the train phase).
   - MFU numbers use XLA's own cost-analysis FLOP count against the chip's
@@ -52,13 +59,14 @@ SR = 16000
 NUM_TRAIN_CLASSES = 527  # AudioSet-sized classifier, the reference's default
 
 
-def _make_model(dtype_name: str, num_classes=None):
+def _make_model(dtype_name: str, num_classes=None, quantize: bool = False):
     import jax.numpy as jnp
 
     from avex_tpu.models.beats import BEATsBackbone, BEATsConfig, BEATsModel
 
     cfg = BEATsConfig(
-        dropout=0.0, attention_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0
+        dropout=0.0, attention_dropout=0.0, encoder_layerdrop=0.0, dropout_input=0.0,
+        quantize_encoder=quantize,
     )
     dtype = jnp.bfloat16 if dtype_name == "bfloat16" else jnp.float32
     if num_classes is not None:
@@ -88,13 +96,30 @@ def _peak_flops() -> float:
     return float(os.environ.get("AVEX_TPU_PEAK_TFLOPS", "197")) * 1e12
 
 
-def _measure_tpu(batch_size: int, dtype_name: str = "float32", iters: int = 10) -> dict:
+def _measure_tpu(
+    batch_size: int, dtype_name: str = "float32", iters: int = 10, quantize: bool = False
+) -> dict:
     import jax
     import jax.numpy as jnp
 
-    model = _make_model(dtype_name)
+    model = _make_model(dtype_name, quantize=quantize)
     rng = np.random.default_rng(0)
-    variables = _init_on_host(model, jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32))
+    if quantize:
+        # Init the FLOAT twin (same param tree shape/rng) and fold its weights
+        # to int8 on the host — the same conversion Model.quantize() performs,
+        # so the int8 pooled output is comparable to the bf16/fp32 phases'.
+        from avex_tpu.models.beats import quantize_beats_params
+
+        float_model = _make_model(dtype_name)
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = jax.jit(float_model.init)(
+                jax.random.PRNGKey(0), jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32)
+            )
+            variables = dict(variables)
+            variables["params"] = jax.jit(quantize_beats_params)(variables["params"])
+        variables = jax.device_put(variables, jax.devices()[0])
+    else:
+        variables = _init_on_host(model, jnp.zeros((1, CLIP_SECONDS * SR), jnp.float32))
 
     # The iteration loop runs ON DEVICE (lax.scan over pre-staged batches,
     # one dispatch + one scalar fetch): this measures model throughput, not
@@ -436,6 +461,27 @@ def main() -> None:
                 )
         except Exception as err:
             print(f"# fp32 parity bench failed: {err}", file=sys.stderr)
+
+    # ---- int8 serving path (W8A8 dynamic, avex_tpu.quant) -----------------
+    # Measures the quantized serving mode (load_model(..., quantization=
+    # "int8")). int8_mfu_pct keeps the bf16 peak as denominator so it reads
+    # as an effective-speedup figure on the same scale as mfu_pct;
+    # int8_bf16_rel_err is the quality cost vs the headline path's pooled
+    # embeddings.
+    if os.environ.get("AVEX_BENCH_INT8", "1") == "1" and in_budget():
+        try:
+            q = _measure_tpu(batch_size=batch, dtype_name="bfloat16", quantize=True)
+            result["int8_clips_per_sec"] = round(q["clips_per_sec"], 2)
+            if "mfu_pct" in q:
+                result["int8_mfu_pct"] = round(q["mfu_pct"], 2)
+                result["int8_tflops_per_sec"] = round(q["tflops_per_sec"], 2)
+            if q.get("pooled") is not None and headline.get("pooled") is not None:
+                a, b = q["pooled"], headline["pooled"]
+                result["int8_bf16_rel_err"] = round(
+                    float(np.linalg.norm(a - b) / np.linalg.norm(b)), 6
+                )
+        except Exception as err:
+            print(f"# int8 bench failed: {err}", file=sys.stderr)
 
     # ---- batch sweep (opt-in) --------------------------------------------
     sweep = os.environ.get("AVEX_BENCH_SWEEP", "")
