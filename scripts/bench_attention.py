@@ -30,7 +30,13 @@ def main() -> None:
     parser.add_argument("--iters", type=int, default=20)
     parser.add_argument("--block-b", type=int, default=8)
     parser.add_argument("--dtype", choices=("float32", "bfloat16"), default="float32")
+    parser.add_argument(
+        "--contenders",
+        default="xla,pallas,flash",
+        help="comma-separated subset of xla,pallas,flash to measure",
+    )
     args = parser.parse_args()
+    wanted = set(args.contenders.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -103,6 +109,7 @@ def main() -> None:
     contenders = [("xla", xla_step), ("pallas", pallas_step)]
     if jax.default_backend() == "tpu":  # Mosaic kernel needs real hardware
         contenders.append(("flash", make_flash_step()))
+    contenders = [(n, s) for n, s in contenders if n in wanted]
     for name, step in contenders:
         fn = scan_loop(step)
         float(fn(q, k, v))  # compile + warmup
@@ -118,14 +125,15 @@ def main() -> None:
         "shape": f"B{b}xH{h}xT{t}xD{d}",
         "dtype": args.dtype,
         "block_b": args.block_b,
-        "xla_clips_per_sec": round(results["xla"], 1),
-        "pallas_clips_per_sec": round(results["pallas"], 1),
-        "pallas_vs_xla": round(results["pallas"] / results["xla"], 3),
         "backend": jax.default_backend(),
     }
-    if "flash" in results:
-        out["flash_clips_per_sec"] = round(results["flash"], 1)
-        out["flash_vs_xla"] = round(results["flash"] / results["xla"], 3)
+    for name in ("xla", "pallas", "flash"):
+        if name in results:
+            out[f"{name}_clips_per_sec"] = round(results[name], 1)
+    if "xla" in results:
+        for name in ("pallas", "flash"):
+            if name in results:
+                out[f"{name}_vs_xla"] = round(results[name] / results["xla"], 3)
     print(json.dumps(out))
 
 
