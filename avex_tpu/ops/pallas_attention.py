@@ -33,9 +33,20 @@ through the mathematically identical jnp formulation, so ``use_pallas``
 composes with training (the forward savings are what the inference
 benchmark buys; the backward is the standard XLA path).
 
-Measured verdict on v5e at BEATs shapes: see the Status block appended at
-the bottom of this docstring by the round that measured it, and
-``scripts/bench_attention.py`` for reproduction.
+Measured verdict on v5e at BEATs shapes (round 3, bf16, B=128/H=12/T=248/
+D=64, ``scripts/bench_attention.py --dtype bfloat16``):
+
+- XLA fused path: 54,097 clips/s.
+- This kernel: 50,819 clips/s at ``block_b=8`` (0.94x), 52,588 at
+  ``block_b=16`` (0.97x). ``block_b=32``'s 32-body unroll did not finish
+  Mosaic compilation within the 7-minute budget.
+
+The v3 fixes recovered the v2 deficit (0.66x -> 0.97x) but XLA still wins:
+its unfused schedule overlaps the [T,64] MXU passes of *different* layers'
+projections with the softmax VPU work, which a single-kernel grid cannot.
+``use_pallas`` therefore stays off by default; the kernel remains the
+reference implementation for shapes where the [B,H,T,T] stream stops
+fitting in XLA's fusion budget (T >~ 1k, where flash-style tiling wins).
 """
 
 from __future__ import annotations
