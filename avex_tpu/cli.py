@@ -212,7 +212,9 @@ def export(model_name, output_path, fmt, mode, layers, aggregation, clip_seconds
 
 
 @cli.command()
-@click.option("-m", "--model", "model_name", required=True, help="registry key or spec YAML")
+@click.option("-m", "--model", "model_names", required=True, multiple=True,
+              help="registry key or spec YAML; repeat to co-host several "
+                   "models in one process (routed under /models/<name>/)")
 @click.option("--host", default="127.0.0.1", show_default=True)
 @click.option("--port", default=8000, type=int, show_default=True,
               help="0 binds an ephemeral port")
@@ -231,16 +233,19 @@ def export(model_name, output_path, fmt, mode, layers, aggregation, clip_seconds
 @click.option("--quantization", default=None, type=click.Choice(["int8"]),
               help="W8A8 dynamic-int8 serving mode (halves encoder-weight "
                    "HBM; see avex_tpu.quant for the perf/quality envelope)")
-def serve(model_name, host, port, mode, layers, aggregation, clip_seconds,
+def serve(model_names, host, port, mode, layers, aggregation, clip_seconds,
           max_batch, max_wait_ms, random_weights, no_warmup, quantization) -> None:
-    """Serve a model over HTTP with TPU micro-batching (see avex_tpu.serving)."""
+    """Serve model(s) over HTTP with TPU micro-batching (see avex_tpu.serving)."""
     from avex_tpu.models.load import load_model
-    from avex_tpu.serving import AvexHTTPServer, InferenceService, ServiceConfig
+    from avex_tpu.serving import (
+        AvexHTTPServer,
+        InferenceService,
+        ServiceConfig,
+        ServicePool,
+    )
     from avex_tpu.utils.compile_cache import enable_compilation_cache
 
     enable_compilation_cache()
-    model = load_model(model_name, return_features_only=(mode == "embed"),
-                       random_weights=random_weights, quantization=quantization)
     config = ServiceConfig(
         clip_seconds=clip_seconds,
         max_batch=max_batch,
@@ -249,19 +254,26 @@ def serve(model_name, host, port, mode, layers, aggregation, clip_seconds,
         layers=[s.strip() for s in layers.split(",") if s.strip()],
         aggregation=aggregation,
     )
-    service = InferenceService(model, config)
+    pool = ServicePool()
+    for name in model_names:
+        model = load_model(name, return_features_only=(mode == "embed"),
+                           random_weights=random_weights, quantization=quantization)
+        pool.add(name, InferenceService(model, config))
+    target = pool if len(pool) > 1 else pool.default
     if not no_warmup:
         click.echo("Warming up (compiling bucket-1 and max-batch programs)...")
-        service.warmup()
-    server = AvexHTTPServer(service, host=host, port=port)
-    click.echo(f"Serving {model_name} ({mode}) on http://{server.host}:{server.port}")
+        pool.warmup()
+    server = AvexHTTPServer(target, host=host, port=port)
+    click.echo(
+        f"Serving {', '.join(model_names)} ({mode}) on http://{server.host}:{server.port}"
+    )
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.stop()
-        service.close()
+        pool.close()
 
 
 if __name__ == "__main__":

@@ -7,6 +7,7 @@ design rationale and ``avex-tpu serve`` for the CLI entry point.
 """
 
 from avex_tpu.serving.http import AvexHTTPServer
+from avex_tpu.serving.pool import ServicePool
 from avex_tpu.serving.service import InferenceService, ServiceConfig
 
-__all__ = ["InferenceService", "ServiceConfig", "AvexHTTPServer"]
+__all__ = ["InferenceService", "ServiceConfig", "AvexHTTPServer", "ServicePool"]

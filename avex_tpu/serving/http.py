@@ -13,6 +13,14 @@ Endpoints:
   Response: ``{"output": [...], "shape": [...]}``.
 - ``GET /healthz``: liveness.
 - ``GET /info``: model/service metadata + batching stats.
+
+When constructed with a :class:`~avex_tpu.serving.ServicePool` (multi-model
+co-hosting), three more routes appear; the bare routes above keep serving
+the pool's default (first) model:
+
+- ``POST /models/<name>/embed`` (or ``/logits``): per-model inference.
+- ``GET /models/<name>/info``: that model's metadata + stats.
+- ``GET /models``: the pool roster.
 """
 
 from __future__ import annotations
@@ -49,7 +57,8 @@ def _decode_payload(body: bytes, sr_hint: Optional[int]) -> Tuple[np.ndarray, Op
 
 
 class _Handler(BaseHTTPRequestHandler):
-    service = None  # injected by AvexHTTPServer via a subclass attribute
+    service = None  # default service, injected by AvexHTTPServer subclassing
+    pool = None  # ServicePool for /models/* routes (None = single-model)
     server_version = "avex-tpu"
 
     def log_message(self, *args) -> None:
@@ -63,27 +72,54 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _route(self, path: str) -> Tuple[Any, str]:
+        """Resolve a request path to ``(service, tail)``.
+
+        ``/models/<name>/<tail>`` targets a pooled model; anything else
+        targets the default service with the whole path as the tail.
+        Returns ``(None, tail)`` for an unknown pooled name (already 404'd).
+        """
+        if self.pool is not None and path.startswith("/models/"):
+            name, _, tail = path[len("/models/"):].partition("/")
+            if name not in self.pool:
+                self._send(
+                    404,
+                    {"error": f"unknown model {name!r}", "models": self.pool.names()},
+                )
+                return None, tail
+            return self.pool.get(name), tail
+        return self.service, path.lstrip("/")
+
     def do_GET(self) -> None:  # noqa: N802 (stdlib API)
-        """Route GET /healthz and /info."""
+        """Route GET /healthz, /info, /models and /models/<name>/info."""
         path = urlparse(self.path).path
         if path == "/healthz":
             self._send(200, {"status": "ok"})
-        elif path == "/info":
-            self._send(200, self.service.info())
+            return
+        if path == "/models" and self.pool is not None:
+            self._send(200, self.pool.info())
+            return
+        service, tail = self._route(path)
+        if service is None:
+            return
+        if tail == "info":
+            self._send(200, service.info())
         else:
             self._send(404, {"error": f"unknown path {path}"})
 
     def do_POST(self) -> None:  # noqa: N802 (stdlib API)
-        """Route POST /embed|/logits: decode payload, submit, await the row."""
+        """Route POST [/models/<name>]/embed|/logits: decode, submit, await."""
         url = urlparse(self.path)
-        mode = url.path.lstrip("/")
+        service, mode = self._route(url.path)
+        if service is None:
+            return
         if mode not in ("embed", "logits"):
             self._send(404, {"error": f"unknown path {url.path}"})
             return
-        if mode != self.service.config.mode:
+        if mode != service.config.mode:
             self._send(
                 409,
-                {"error": f"service is configured for mode={self.service.config.mode!r}"},
+                {"error": f"service is configured for mode={service.config.mode!r}"},
             )
             return
         try:
@@ -92,23 +128,31 @@ class _Handler(BaseHTTPRequestHandler):
             query = parse_qs(url.query)
             sr = int(query["sr"][0]) if "sr" in query else None
             wav, wav_sr = _decode_payload(body, sr)
-            out = np.asarray(self.service.submit(wav, sr=wav_sr).result())
+            out = np.asarray(service.submit(wav, sr=wav_sr).result())
             self._send(200, {"output": out.tolist(), "shape": list(out.shape)})
         except Exception as err:  # noqa: BLE001 — map to a 400, never crash the server
             self._send(400, {"error": f"{type(err).__name__}: {err}"})
 
 
 class AvexHTTPServer:
-    """Threaded HTTP server bound to an :class:`InferenceService`.
+    """Threaded HTTP server bound to an :class:`InferenceService` or a
+    :class:`~avex_tpu.serving.ServicePool` (multi-model co-hosting).
 
     ``port=0`` binds an ephemeral port (read it back from ``.port``) — used
     by tests and by schedulers that allocate ports externally.
     """
 
     def __init__(self, service, host: str = "127.0.0.1", port: int = 0) -> None:
-        handler = type("_BoundHandler", (_Handler,), {"service": service})
+        from avex_tpu.serving.pool import ServicePool
+
+        pool = service if isinstance(service, ServicePool) else None
+        default = pool.default if pool is not None else service
+        handler = type(
+            "_BoundHandler", (_Handler,), {"service": default, "pool": pool}
+        )
         self._httpd = ThreadingHTTPServer((host, port), handler)
-        self.service = service
+        self.service = default
+        self.pool = pool
         self.host = host
         self.port = self._httpd.server_address[1]
         self._thread: Optional[threading.Thread] = None

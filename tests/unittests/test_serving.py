@@ -271,3 +271,93 @@ def test_close_resolves_raced_submissions(model):
         assert service._queue.qsize() == 0
     finally:
         service.close()
+
+
+# ----------------------------------------------------------------------
+# Multi-model co-hosting (ServicePool)
+# ----------------------------------------------------------------------
+
+
+def _tiny_spec_48():
+    """A second architecture (48-d embeddings) so routing is observable."""
+    spec = _tiny_spec()
+    spec.init_config["encoder_embed_dim"] = 48
+    spec.init_config["encoder_ffn_embed_dim"] = 96
+    return spec
+
+
+@pytest.fixture(scope="module")
+def pool_models():
+    from avex_tpu.serving import ServicePool
+
+    cfg = ServiceConfig(clip_seconds=0.5, max_batch=4, max_wait_ms=5)
+    big = avex_tpu.build_model_from_spec(_tiny_spec())
+    small = avex_tpu.build_model_from_spec(_tiny_spec_48())
+    pool = ServicePool.from_models({"big": big, "small": small}, config=cfg)
+    yield pool, big, small
+    pool.close()
+
+
+def test_pool_routes_to_the_named_model(pool_models):
+    """Each pooled model answers with ITS embedding dim — requests never
+    cross services — and per-service stats stay isolated."""
+    pool, big, small = pool_models
+    clip = np.random.default_rng(7).standard_normal(8000).astype(np.float32) * 0.1
+    row_big = pool.get("big").infer(clip)
+    row_small = pool.get("small").infer(clip)
+    assert row_big.shape == (64,) and row_small.shape == (48,)
+    np.testing.assert_allclose(row_big, _direct_embedding(big, clip), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(row_small, _direct_embedding(small, clip), rtol=1e-4, atol=1e-5)
+    assert pool.get("small").info()["stats"]["requests"] == 1
+
+
+def test_pool_contract():
+    from avex_tpu.serving import ServicePool
+
+    pool = ServicePool()
+    with pytest.raises(RuntimeError, match="empty"):
+        _ = pool.default
+    with pytest.raises(KeyError, match="unknown model"):
+        pool.get("nope")
+
+
+def test_pool_http_routing(pool_models):
+    """/models roster, per-model routes, bare routes = default model, 404
+    with the roster for unknown names."""
+    pool, big, _small = pool_models
+    clip = np.random.default_rng(9).standard_normal(8000).astype(np.float32) * 0.1
+    buf = io.BytesIO()
+    np.save(buf, clip)
+    body = buf.getvalue()
+
+    with AvexHTTPServer(pool, port=0) as server:
+        conn = http.client.HTTPConnection(server.host, server.port, timeout=120)
+
+        conn.request("GET", "/models")
+        roster = json.loads(conn.getresponse().read())
+        assert roster["default"] == "big"
+        assert sorted(roster["models"]) == ["big", "small"]
+
+        conn.request("POST", "/models/small/embed", body=body)
+        assert json.loads(conn.getresponse().read())["shape"] == [48]
+
+        conn.request("POST", "/models/big/embed", body=body)
+        big_resp = json.loads(conn.getresponse().read())
+        assert big_resp["shape"] == [64]
+
+        # Bare route serves the default (first-added) model.
+        conn.request("POST", "/embed", body=body)
+        bare = json.loads(conn.getresponse().read())
+        np.testing.assert_allclose(bare["output"], big_resp["output"], rtol=0, atol=0)
+        np.testing.assert_allclose(
+            np.asarray(bare["output"]), _direct_embedding(big, clip), rtol=1e-4, atol=1e-5
+        )
+
+        conn.request("GET", "/models/small/info")
+        assert json.loads(conn.getresponse().read())["mode"] == "embed"
+
+        conn.request("POST", "/models/ghost/embed", body=body)
+        resp = conn.getresponse()
+        assert resp.status == 404
+        assert json.loads(resp.read())["models"] == ["big", "small"]
+        conn.close()
