@@ -245,6 +245,9 @@ def serve(model_names, host, port, mode, layers, aggregation, clip_seconds,
     )
     from avex_tpu.utils.compile_cache import enable_compilation_cache
 
+    if len(set(model_names)) != len(model_names):
+        dupes = sorted({n for n in model_names if model_names.count(n) > 1})
+        raise click.UsageError(f"model(s) given more than once: {', '.join(dupes)}")
     enable_compilation_cache()
     config = ServiceConfig(
         clip_seconds=clip_seconds,

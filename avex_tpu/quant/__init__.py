@@ -33,6 +33,7 @@ field.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -52,6 +53,14 @@ __all__ = [
 QUANT_FIELDS = ("kernel_q", "kernel_scale")
 
 _EPS = 1e-8
+
+
+def _backend_is_tpu() -> bool:
+    """True when the default jax backend is a TPU (trace-time decision)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - backend init failure
+        return False
 
 
 def quantize_kernel(kernel: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -132,6 +141,27 @@ class Int8Dense(nn.Module):
             if self.use_bias
             else None
         )
+        # A fused Mosaic kernel (ops/pallas_int8.int8_dynamic_dense) wins the
+        # ISOLATED fc1-shape microbench (1.25-1.28x the bf16 dot vs 1.11x for
+        # this jnp lowering) but LOSES end-to-end: full int8 BEATs at B=128
+        # measured 0.83x bf16 with the kernel vs 0.92x with the jnp path
+        # (round 4, scripts/bench_int8.py). The opaque pallas_call is a
+        # fusion barrier — XLA fuses this path's quant/rescale into the
+        # surrounding GELU/residual streams, and that cross-op fusion is
+        # worth more than the kernel's in-VMEM chain. Same verdict shape as
+        # Pallas attention v3 (docs/architecture.md). Off by default;
+        # AVEX_INT8_PALLAS=1 re-enables it for future toolchains.
+        if (
+            os.environ.get("AVEX_INT8_PALLAS") == "1"
+            and _backend_is_tpu()
+            and kernel_q.ndim == 2
+            and self.features % 128 == 0
+        ):
+            from avex_tpu.ops.pallas_int8 import int8_dynamic_dense
+
+            return int8_dynamic_dense(
+                x, kernel_q, kernel_scale, bias, out_dtype=self.dtype
+            )
         return dynamic_int8_matmul(x, kernel_q, kernel_scale, bias, out_dtype=self.dtype)
 
 

@@ -110,6 +110,14 @@ class _Handler(BaseHTTPRequestHandler):
     def do_POST(self) -> None:  # noqa: N802 (stdlib API)
         """Route POST [/models/<name>]/embed|/logits: decode, submit, await."""
         url = urlparse(self.path)
+        # Read the body up front so every response path — including the
+        # 404/409 errors below — leaves the connection fully drained. With
+        # stdlib HTTP/1.0 (no keep-alive) this is belt-and-braces, but it
+        # makes a future protocol_version="HTTP/1.1" bump safe: leftover
+        # body bytes would otherwise corrupt the next request on a
+        # kept-alive connection.
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
         service, mode = self._route(url.path)
         if service is None:
             return
@@ -123,8 +131,6 @@ class _Handler(BaseHTTPRequestHandler):
             )
             return
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            body = self.rfile.read(length)
             query = parse_qs(url.query)
             sr = int(query["sr"][0]) if "sr" in query else None
             wav, wav_sr = _decode_payload(body, sr)

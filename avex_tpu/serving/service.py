@@ -34,7 +34,7 @@ import queue
 import threading
 from collections import Counter
 from concurrent.futures import Future
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -79,7 +79,11 @@ class InferenceService:
 
     def __init__(self, model: Any, config: Optional[ServiceConfig] = None) -> None:
         self.model = model
-        self.config = config or ServiceConfig()
+        # Private copy: callers routinely share one ServiceConfig across a
+        # pool (cli.py serve, ServicePool.from_models), and the service
+        # tunes its own knobs (warmup widens max_wait_ms) — mutations must
+        # never leak across co-hosted models.
+        self.config = replace(config) if config is not None else ServiceConfig()
         ac = getattr(model, "audio_config", None)
         self.sample_rate = int(getattr(ac, "sample_rate", None) or 16000)
         self.target_len = int(self.config.clip_seconds * self.sample_rate)
@@ -94,6 +98,8 @@ class InferenceService:
         self._queue: "queue.Queue" = queue.Queue()
         self._lock = threading.Lock()
         self._closed = False
+        # Warmup-time coalescing override (ms); None = use config.max_wait_ms.
+        self._wait_override_ms: Optional[float] = None
         self._thread = threading.Thread(target=self._loop, daemon=True, name="avex-batcher")
         self._thread.start()
 
@@ -145,7 +151,9 @@ class InferenceService:
                 self._fail_pending()
                 return
             batch = [item]
-            deadline = time.monotonic() + self.config.max_wait_ms / 1000.0
+            override = self._wait_override_ms
+            wait_ms = override if override is not None else self.config.max_wait_ms
+            deadline = time.monotonic() + wait_ms / 1000.0
             while len(batch) < self.config.max_batch:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -219,16 +227,17 @@ class InferenceService:
         silence = np.zeros(self.target_len, np.float32)
         # Widen the coalescing window so each warmup group forms its intended
         # bucket even on a slow host (warmup runs before traffic, so the
-        # temporary latency is invisible).
-        old_wait = self.config.max_wait_ms
-        self.config.max_wait_ms = max(old_wait, 500.0)
+        # temporary latency is invisible). The widened wait lives on a
+        # private override, not on config — config may be user-visible and
+        # the service never mutates it.
+        self._wait_override_ms = max(self.config.max_wait_ms, 500.0)
         try:
             for b in sorted(set(_bucket(x, self.config.max_batch) for x in buckets)):
                 futures = [self.submit(silence) for _ in range(b)]
                 for f in futures:
                     f.result()
         finally:
-            self.config.max_wait_ms = old_wait
+            self._wait_override_ms = None
 
     def close(self) -> None:
         """Drain and stop the batcher thread."""

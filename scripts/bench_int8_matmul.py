@@ -9,6 +9,12 @@ Times three variants of [M,K]x[K,N] (fc1-shaped, M=B*T) on the chip:
 If s8_pre is ~2x bf16, the int8 MXU path is real and the W8A8 gap is
 quant/dequant overhead; if it is ~1x, XLA is not using the doubled rate and
 int8 serving cannot win here.
+
+Round 4 adds the Mosaic side of the question: ``s8_pallas_*`` time the
+hand-tiled Pallas int8 matmul (avex_tpu/ops/pallas_int8.py) at several
+block shapes, and ``s8_dyn_pallas`` the fused dynamic-quant dense. If XLA's
+1.04x was a scheduling artifact, these clear it; if they sit at the same
+rate, the chip itself runs the s8 dot at the bf16 rate.
 """
 
 import json
@@ -23,13 +29,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
+from avex_tpu.ops.pallas_int8 import int8_dynamic_dense, int8_matmul
 from avex_tpu.quant import dynamic_int8_matmul, quantize_kernel
 
 M, K, N = 128 * 248, 768, 3072
-ITERS = 30
+# 31, not a round number: the scan length is part of the program hash, and a
+# previously killed client can wedge the compile proxy's entry for an exact
+# hash (CLAUDE.md) — a novel length compiles fresh.
+ITERS = 31
 
 
 def timed(fn, *args):
+    print(f"  compiling...", file=sys.stderr, flush=True)
     compiled = jax.jit(fn).lower(*args).compile()
     float(compiled(*args))  # warmup + sync
     best = float("inf")
@@ -57,8 +68,29 @@ def main() -> None:
 
         return fn
 
-    bf16 = timed(loop(lambda a, b: jnp.dot(a, b).astype(jnp.float32).mean()), x, w)
-    s8_pre = timed(
+    flops = 2 * M * K * N * ITERS
+    baseline = {}
+
+    def run(name, fn, *args):
+        print(name, file=sys.stderr, flush=True)
+        t = timed(fn, *args)
+        if "bf16" not in baseline:
+            baseline["bf16"] = t
+        print(
+            json.dumps(
+                {
+                    "variant": name,
+                    "ms": round(t * 1e3 / ITERS, 3),
+                    "tflops_per_sec": round(flops / t / 1e12, 1),
+                    "vs_bf16": round(baseline["bf16"] / t, 3),
+                }
+            ),
+            flush=True,
+        )
+
+    run("bf16", loop(lambda a, b: jnp.dot(a, b).astype(jnp.float32).mean()), x, w)
+    run(
+        "s8_pre",
         loop(
             lambda a, b: jax.lax.dot_general(
                 a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -67,25 +99,35 @@ def main() -> None:
         xq,
         wq,
     )
-    s8_dyn = timed(
+    run(
+        "s8_dyn",
         loop(lambda a, b, s: dynamic_int8_matmul(a, b, s).astype(jnp.float32).mean()),
         x,
         wq,
         ws,
     )
-    flops = 2 * M * K * N * ITERS
-    for name, t in (("bf16", bf16), ("s8_pre", s8_pre), ("s8_dyn", s8_dyn)):
-        print(
-            json.dumps(
-                {
-                    "variant": name,
-                    "ms": round(t * 1e3 / ITERS, 3),
-                    "tflops_per_sec": round(flops / t / 1e12, 1),
-                    "vs_bf16": round(bf16 / t, 3),
-                }
+    for bm, bn in ((256, 1024), (512, 1024), (512, 512), (1024, 512)):
+        run(
+            f"s8_pallas_{bm}x{bn}",
+            loop(
+                lambda a, b: int8_matmul(a, b, block_m=bm, block_n=bn)
+                .astype(jnp.float32)
+                .mean()
             ),
-            flush=True,
+            xq,
+            wq,
         )
+    run(
+        "s8_dyn_pallas_512x1024",
+        loop(
+            lambda a, b, s: int8_dynamic_dense(a, b, s, block_m=512, block_n=1024)
+            .astype(jnp.float32)
+            .mean()
+        ),
+        x,
+        wq,
+        ws,
+    )
 
 
 if __name__ == "__main__":

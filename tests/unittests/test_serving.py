@@ -303,12 +303,17 @@ def test_pool_routes_to_the_named_model(pool_models):
     cross services — and per-service stats stay isolated."""
     pool, big, small = pool_models
     clip = np.random.default_rng(7).standard_normal(8000).astype(np.float32) * 0.1
+    # Relative delta, not an absolute count: the fixture is shared across
+    # tests, so the counter's starting value depends on execution order.
+    small_before = pool.get("small").info()["stats"]["requests"]
+    big_before = pool.get("big").info()["stats"]["requests"]
     row_big = pool.get("big").infer(clip)
     row_small = pool.get("small").infer(clip)
     assert row_big.shape == (64,) and row_small.shape == (48,)
     np.testing.assert_allclose(row_big, _direct_embedding(big, clip), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(row_small, _direct_embedding(small, clip), rtol=1e-4, atol=1e-5)
-    assert pool.get("small").info()["stats"]["requests"] == 1
+    assert pool.get("small").info()["stats"]["requests"] == small_before + 1
+    assert pool.get("big").info()["stats"]["requests"] == big_before + 1
 
 
 def test_pool_contract():
