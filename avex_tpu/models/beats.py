@@ -129,7 +129,13 @@ class _GatedRelPosAttention(nn.Module):
     num_heads: int
     gru_rel_pos: bool = True
     dropout: float = 0.0
-    use_pallas: bool = False
+    #: fused Pallas attention kernel. None = auto: on for real-TPU traces at
+    #: T >= 384, where the measured crossover puts the fused kernel ahead of
+    #: XLA's schedule (v5e, docs/architecture.md: 0.97x at T=248, 1.15x at
+    #: 384, 1.32x at 512 — the [B,H,T,T] HBM streams XLA materializes grow
+    #: quadratically while the kernel keeps them in VMEM). Explicit True/False
+    #: overrides (False = always XLA, True = kernel even at short T).
+    use_pallas: Optional[bool] = None
     #: run the [B, H, T, T] logits/softmax chain in the compute dtype instead
     #: of fp32 — halves the dominant HBM stream of the whole model (measured
     #: +33%% end-to-end on v5e at B=128/T=248). None = auto: on for bfloat16
@@ -185,7 +191,13 @@ class _GatedRelPosAttention(nn.Module):
             gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]
             gate = gate_a * (gate_b * grep_a - 1.0) + 2.0  # [B, H, T, 1]
 
-        if self.use_pallas and position_bias is not None:
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            # Auto: the kernel wins past the measured T~384 crossover, but
+            # only compile it for real TPUs — elsewhere (CPU tests, virtual
+            # meshes) the Pallas interpreter would crawl, so keep XLA.
+            use_pallas = seq >= 384 and jax.default_backend() == "tpu"
+        if use_pallas and position_bias is not None:
             # Fused kernel: gate x shared-bias never materializes in HBM
             # (avex_tpu/ops/pallas_attention.py).
             from avex_tpu.ops.pallas_attention import gated_bias_attention
@@ -245,7 +257,7 @@ class _EncoderLayer(nn.Module):
             num_heads=cfg.encoder_attention_heads,
             gru_rel_pos=cfg.gru_rel_pos,
             dropout=cfg.attention_dropout,
-            use_pallas=bool(getattr(cfg, "use_pallas", False)),
+            use_pallas=getattr(cfg, "use_pallas", None),
             fast_attention=getattr(cfg, "fast_attention", None),
             fused_qkv=bool(getattr(cfg, "fused_qkv", False)),
             quantize=quantize,

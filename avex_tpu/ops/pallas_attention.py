@@ -33,20 +33,30 @@ through the mathematically identical jnp formulation, so ``use_pallas``
 composes with training (the forward savings are what the inference
 benchmark buys; the backward is the standard XLA path).
 
-Measured verdict on v5e at BEATs shapes (round 3, bf16, B=128/H=12/T=248/
-D=64, ``scripts/bench_attention.py --dtype bfloat16``):
+Measured crossover on v5e (rounds 3-4, bf16, H=12/D=64, constant B*T,
+``scripts/bench_attention.py --dtype bfloat16``; "flash" is JAX's stock TPU
+flash-attention kernel with the gate x bias materialized as its ``ab``
+input — it loses everywhere, 0.72-0.89x):
 
-- XLA fused path: 54,097 clips/s.
-- This kernel: 50,819 clips/s at ``block_b=8`` (0.94x), 52,588 at
-  ``block_b=16`` (0.97x). ``block_b=32``'s 32-body unroll did not finish
-  Mosaic compilation within the 7-minute budget.
+====  =====  ==============  =================
+T     B      pallas vs XLA   flash vs XLA
+====  =====  ==============  =================
+248   128    0.966x          0.44x (round 3)
+384   96     1.154x          --
+512   64     1.324x          0.715x
+1024  16     1.352x          0.891x
+2048  4      1.260x          0.863x
+====  =====  ==============  =================
 
-The v3 fixes recovered the v2 deficit (0.66x -> 0.97x) but XLA still wins:
-its unfused schedule overlaps the [T,64] MXU passes of *different* layers'
-projections with the softmax VPU work, which a single-kernel grid cannot.
-``use_pallas`` therefore stays off by default; the kernel remains the
-reference implementation for shapes where the [B,H,T,T] stream stops
-fitting in XLA's fusion budget (T >~ 1k, where flash-style tiling wins).
+At the 5 s-clip BEATs shape (T=248) XLA still wins by ~3%: its unfused
+schedule overlaps the [T,64] MXU passes of *different* layers' projections
+with the softmax VPU work, which a single-kernel grid cannot. Past T~384 the
+quadratically growing [B,H,T,T] logits/softmax HBM streams dominate and the
+in-VMEM chain wins by 15-35% — long-clip / windowed-recording inference and
+EAT-class 512-token encoders are exactly this regime. ``use_pallas=None``
+(the default) therefore auto-enables the kernel for real-TPU traces at
+T >= 384 (``models/beats.py``); cells at T > 512 raise Mosaic's scoped-VMEM
+limit (measured need: 24.3 MB at T=1024, 28 MB at T=2048 — v5e has 128 MB).
 """
 
 from __future__ import annotations
@@ -160,6 +170,14 @@ def _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_
     # head does, so Pallas keeps the [T, T] slice resident across the batch.
     grid = (heads, bsz // block_b)
     nb = block_b
+    # Mosaic's default scoped-VMEM limit is 16 MB — enough for BEATs-size
+    # tiles but not the long-sequence cells this kernel exists for (measured:
+    # T=1024/nb=4 needs 24.3 MB, T=2048/nb=2 needs 28 MB). v5e has 128 MB of
+    # VMEM, so raise the cap for T > 512; the limit is a check, not an
+    # allocation, and short-T cells keep the default pipelining budget.
+    compiler_params = None
+    if seq_p > 512:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
     out = pl.pallas_call(
         functools.partial(_attention_kernel, scale=scale),
         grid=grid,
@@ -176,6 +194,7 @@ def _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, heads, seq_p, dim), v.dtype),
         interpret=interpret,
+        compiler_params=compiler_params,
     )(q, k, v, pos_bias, gate_arr, pad_bias)
     if pad_seq:
         out = out[:, :, :seq, :]

@@ -54,11 +54,14 @@ def main() -> None:
     pos_bias = jnp.asarray(rng.standard_normal((h, t, t)).astype(np.float32) * 0.1, dtype)
     gate = jnp.asarray(rng.uniform(1.0, 2.0, (b, h, t)).astype(np.float32), dtype)
 
-    def xla_step(q, k, v):
+    # NB: pos_bias/gate are jit ARGUMENTS, not closures — closed-over arrays
+    # serialize into the HLO as constants, and at T=2048 the [H, T, T] bias is
+    # ~100 MB, which 413s the remote-TPU compile tunnel (CLAUDE.md).
+    def xla_step(q, k, v, pos_bias, gate):
         bias = gate[..., None] * pos_bias[None]
         return dot_product_attention(q, k, v, bias=bias, scale=d**-0.5)
 
-    def pallas_step(q, k, v):
+    def pallas_step(q, k, v, pos_bias, gate):
         return gated_bias_attention(
             q, k, v, pos_bias=pos_bias, gate=gate, scale=d**-0.5, block_b=args.block_b
         )
@@ -82,7 +85,7 @@ def main() -> None:
             block_b=1,
         )
 
-        def flash_step(q, k, v):
+        def flash_step(q, k, v, pos_bias, gate):
             widths = ((0, 0), (0, 0), (0, t_pad - t), (0, 0))
             qp, kp, vp = (jnp.pad(x, widths) for x in (q, k, v))
             ab = gate[..., None] * pos_bias[None]
@@ -95,9 +98,9 @@ def main() -> None:
         return flash_step
 
     def scan_loop(step):
-        def run(q, k, v):
+        def run(q, k, v, pos_bias, gate):
             def body(carry, _):
-                out = step(q + carry, k, v)
+                out = step(q + carry, k, v, pos_bias, gate)
                 return out.mean().astype(jnp.float32), None
 
             total, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.iters)
@@ -112,11 +115,11 @@ def main() -> None:
     contenders = [(n, s) for n, s in contenders if n in wanted]
     for name, step in contenders:
         fn = scan_loop(step)
-        float(fn(q, k, v))  # compile + warmup
+        float(fn(q, k, v, pos_bias, gate))  # compile + warmup
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            float(fn(q, k, v))
+            float(fn(q, k, v, pos_bias, gate))
             best = min(best, time.perf_counter() - t0)
         results[name] = args.iters * b / best  # batches of attention per sec
 

@@ -146,6 +146,122 @@ def test_logits_mode_exports_classifier_head(clip_batch, tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+# ---------------------------------------------------------------------------
+# Export matrix across the zoo (round-4): the edge-relevant CNNs
+# (EfficientNet / Perch — batch_stats under jax2tf), a second transformer
+# family (AVES/HuBERT — conv extractor + layer-norm encoder), and an
+# int8-quantized BEATs (integer dot legalization). Reference deployment
+# targets these formats serve: birdnet.py:273-359 (TFLite), perch.py:26-47
+# (SavedModel).
+# ---------------------------------------------------------------------------
+
+
+def _effnet_model():
+    spec = ModelSpec(
+        name="efficientnet",
+        pretrained=False,
+        efficientnet_variant="b0",
+        audio_config={
+            "sample_rate": 16000,
+            "n_fft": 800,
+            "hop_length": 160,
+            "win_length": 800,
+            "window": "hann",
+            "n_mels": 128,
+            "representation": "mel_spectrogram",
+            "normalize": True,
+        },
+    )
+    return avex_tpu.build_model_from_spec(spec, num_classes=7)
+
+
+def _perch_model():
+    spec = ModelSpec(
+        name="perch",
+        pretrained=False,
+        audio_config={"sample_rate": 32000, "representation": "raw", "normalize": False},
+    )
+    return avex_tpu.build_model_from_spec(spec)
+
+
+def _aves_model():
+    spec = ModelSpec(name="aves_bio", pretrained=False, audio_config=None)
+    return avex_tpu.build_model_from_spec(
+        spec, num_classes=None, return_features_only=True
+    )
+
+
+def _beats_int8_model():
+    model = avex_tpu.build_model_from_spec(_tiny_spec())
+    model.quantize("int8")
+    return model
+
+
+# (name, build, clip_seconds, n_samples, atol) — atol absorbs accumulated
+# batch-norm/conv reassociation differences between XLA-CPU and TFLite kernels.
+EXPORT_MATRIX = [
+    ("efficientnet_b0", _effnet_model, 1.0, 16000, 1e-4),
+    ("perch_b1", _perch_model, 5.0, 160000, 1e-4),
+    ("aves_hubert", _aves_model, 1.0, 16000, 1e-4),
+    ("beats_int8", _beats_int8_model, 1.0, 16000, 1e-4),
+]
+
+
+@pytest.mark.parametrize("name,build,clip_s,n_samples,atol",
+                         EXPORT_MATRIX, ids=[m[0] for m in EXPORT_MATRIX])
+def test_export_matrix_tflite_roundtrip(name, build, clip_s, n_samples, atol):
+    """Each zoo family exports to a TFLite flatbuffer that runs under
+    tf.lite.Interpreter (no JAX) and reproduces the JAX embeddings."""
+    from avex_tpu.export import export_tflite
+
+    model = build()
+    rng = np.random.default_rng(5)
+    wav = (rng.standard_normal((1, n_samples)) * 0.1).astype(np.float32)
+
+    blob = export_tflite(
+        model, mode="embed", layers=["last_layer"], aggregation="mean",
+        clip_seconds=clip_s, batch_size=1,
+    )
+    interp = tf.lite.Interpreter(model_content=blob)
+    interp.allocate_tensors()
+    inp = interp.get_input_details()[0]
+    outd = interp.get_output_details()[0]
+    assert tuple(inp["shape"]) == (1, n_samples)
+    interp.set_tensor(inp["index"], wav)
+    interp.invoke()
+    got = interp.get_tensor(outd["index"])
+
+    want = _jax_embedding(model, wav)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=atol)
+
+
+@pytest.mark.parametrize("name,build,clip_s,n_samples,atol",
+                         [EXPORT_MATRIX[0], EXPORT_MATRIX[1]],
+                         ids=["efficientnet_b0", "perch_b1"])
+def test_export_matrix_savedmodel_batch_stats(name, build, clip_s, n_samples,
+                                              atol, tmp_path):
+    """The batch-stats CNNs also round-trip through SavedModel (the Perch
+    deployment format) with a polymorphic batch axis."""
+    from avex_tpu.export import export_savedmodel
+
+    model = build()
+    rng = np.random.default_rng(7)
+    wav = (rng.standard_normal((2, n_samples)) * 0.1).astype(np.float32)
+
+    out = export_savedmodel(
+        model, tmp_path / "sm", mode="embed", layers=["last_layer"],
+        aggregation="mean", clip_seconds=clip_s,
+    )
+    loaded = tf.saved_model.load(str(out))
+    serve = loaded.signatures["serving_default"]
+    for n in (1, 2):
+        got = serve(waveform=tf.constant(wav[:n]))["output"].numpy()
+        want = _jax_embedding(model, wav[:n])
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=atol)
+
+
 def test_cli_export_tflite(tmp_path):
     """avex-tpu export: spec YAML → .tflite artifact on disk."""
     import yaml

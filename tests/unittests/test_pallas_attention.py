@@ -104,3 +104,42 @@ def test_beats_use_pallas_end_to_end(rng):
     expected = np.asarray(ref_model(wav))
     got = np.asarray(pallas_model(wav))
     np.testing.assert_allclose(got, expected, atol=5e-5, rtol=1e-4)
+
+
+def test_use_pallas_auto_policy(rng, monkeypatch):
+    """use_pallas=None resolves to the kernel only for TPU traces at the
+    measured T>=384 crossover; CPU traces keep the XLA path at any T."""
+    import avex_tpu.ops.pallas_attention as pa
+    from avex_tpu.models.beats import _GatedRelPosAttention
+
+    calls = []
+    real = pa.gated_bias_attention
+
+    def recorder(*args, **kw):
+        calls.append(kw.get("gate") is not None)
+        kw["interpret"] = True  # stay off Mosaic under the fake-TPU backend
+        return real(*args, **kw)
+
+    monkeypatch.setattr(pa, "gated_bias_attention", recorder)
+
+    b, h, t, e = 1, 4, 392, 32
+    x = jnp.asarray(rng.standard_normal((b, t, e)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((1, h, t, t)).astype(np.float32) * 0.1)
+    attn = _GatedRelPosAttention(embed_dim=e, num_heads=h, use_pallas=None)
+    variables = attn.init(jax.random.PRNGKey(0), x, bias, None)
+
+    # CPU backend: auto stays on XLA even past the crossover length.
+    attn.apply(variables, x, bias, None)
+    assert calls == []
+
+    # TPU backend (faked): auto enables at T>=384 ...
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    attn.apply(variables, x, bias, None)
+    assert len(calls) == 1
+
+    # ... but not below the crossover.
+    short = x[:, :256]
+    short_bias = bias[:, :, :256, :256]
+    attn.apply(attn.init(jax.random.PRNGKey(0), short, short_bias, None),
+               short, short_bias, None)
+    assert len(calls) == 1
