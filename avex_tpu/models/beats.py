@@ -360,9 +360,22 @@ class _TransformerEncoder(nn.Module):
 
         # Gradient checkpointing: rematerialize each block in the backward
         # pass (the jax analogue of torch.utils.checkpoint on encoder layers).
+        # remat_policy selects what the backward keeps: None/"nothing" =
+        # recompute everything (minimum memory), "dots" = save matmul outputs
+        # and recompute the elementwise chains (dots_with_no_batch_dims_
+        # saveable — the usual TPU memory/FLOPs sweet spot).
         layer_cls = _EncoderLayer
         if getattr(cfg, "remat", False):
-            layer_cls = nn.remat(_EncoderLayer, static_argnums=(4,))
+            policy_name = getattr(cfg, "remat_policy", None)
+            if policy_name in (None, "nothing"):
+                policy = None
+            elif policy_name == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            else:
+                raise ValueError(
+                    f"Unknown remat_policy {policy_name!r} (None, 'nothing', 'dots')"
+                )
+            layer_cls = nn.remat(_EncoderLayer, static_argnums=(4,), policy=policy)
 
         use_layerdrop = (
             not disable_layerdrop and cfg.encoder_layerdrop > 0 and not deterministic
