@@ -58,6 +58,11 @@ class _Block(nn.Module):
     heads: int = 12
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
+    #: fused Pallas attention (bias-free cell of ops/pallas_attention.py).
+    #: None = auto: on for real-TPU traces at T >= 384 — EAT/Bird-MAE run at
+    #: T=513 (64x8 patch grid + CLS), past the measured crossover where the
+    #: VMEM-resident softmax chain beats XLA's schedule by ~1.3x.
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -68,12 +73,20 @@ class _Block(nn.Module):
         qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(bsz, seq, 3, self.heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        # bf16 compute runs the softmax chain in bf16 too (the [B,H,T,T]
-        # stream dominates HBM traffic; fp32 compute keeps the parity softmax).
-        attn = dot_product_attention(
-            q, k, v, scale=head_dim**-0.5,
-            logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
-        )
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = seq >= 384 and jax.default_backend() == "tpu"
+        if use_pallas:
+            from avex_tpu.ops.pallas_attention import gated_bias_attention
+
+            attn = gated_bias_attention(q, k, v, pos_bias=None, scale=head_dim**-0.5)
+        else:
+            # bf16 compute runs the softmax chain in bf16 too (the [B,H,T,T]
+            # stream dominates HBM traffic; fp32 keeps the parity softmax).
+            attn = dot_product_attention(
+                q, k, v, scale=head_dim**-0.5,
+                logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
+            )
         attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
         proj_out = nn.Dense(dim, dtype=self.dtype, name="proj")(attn)
         x = x + proj_out

@@ -113,14 +113,46 @@ def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref,
         ).astype(out_ref.dtype)
 
 
+def _plain_attention_kernel(q_ref, k_ref, v_ref, pad_ref, out_ref, *, scale):
+    """Bias-free cell (ViT-style attention: EAT / Bird-MAE blocks).
+
+    Same structure as :func:`_attention_kernel` minus the shared-bias load and
+    the gate — the fusion win is the same (the [T, T] logits/softmax chain
+    never leaves VMEM), and at the T≈513 ViT shapes these models run at, the
+    measured T-crossover (header table) puts the kernel 1.3x ahead of XLA.
+    """
+    nb = q_ref.shape[0]
+    for i in range(nb):  # static unroll
+        q = q_ref[i, 0]
+        k = k_ref[i, 0]
+        v = v_ref[i, 0]
+        logits = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale
+        logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over keys
+
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out_ref[i, 0] = jax.lax.dot_general(
+            weights,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
 def _attention_reference(q, k, v, pos_bias, gate, key_padding_mask, scale):
     """jnp twin of the kernel (same math; used for the custom backward)."""
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
-    bias = pos_bias[None].astype(jnp.float32)
-    if gate is not None:
-        bias = gate[..., None].astype(jnp.float32) * bias
-    logits = logits + bias
+    if pos_bias is not None:
+        bias = pos_bias[None].astype(jnp.float32)
+        if gate is not None:
+            bias = gate[..., None].astype(jnp.float32) * bias
+        logits = logits + bias
     if key_padding_mask is not None:
         logits = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, logits)
     weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
@@ -147,13 +179,8 @@ def _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_
         q = jnp.pad(q, widths4)
         k = jnp.pad(k, widths4)
         v = jnp.pad(v, widths4)
-        pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_seq), (0, pad_seq)))
-
-    if gate is None:
-        gate_arr = jnp.ones((bsz, heads, seq_p), q.dtype)
-    else:
-        gate_arr = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_seq))) if pad_seq else gate
-    gate_arr = gate_arr[..., None]  # [B, H, T, 1]
+        if pos_bias is not None:
+            pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_seq), (0, pad_seq)))
 
     # Additive key mask: padded keys (incl. tile padding) get -inf.
     valid = jnp.arange(seq_p) < seq
@@ -178,24 +205,45 @@ def _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_
     compiler_params = None
     if seq_p > 512:
         compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
-    out = pl.pallas_call(
-        functools.partial(_attention_kernel, scale=scale),
+
+    qkv_spec = pl.BlockSpec(
+        (nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM
+    )
+    pad_spec = pl.BlockSpec((nb, 1, seq_p), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM)
+    common = dict(
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, seq_p, seq_p), lambda h, b: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, seq_p, 1), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nb, 1, seq_p), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec(
             (nb, 1, seq_p, dim), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, heads, seq_p, dim), v.dtype),
         interpret=interpret,
         compiler_params=compiler_params,
-    )(q, k, v, pos_bias, gate_arr, pad_bias)
+    )
+    if pos_bias is None:
+        # Bias-free ViT attention (EAT / Bird-MAE): no shared-bias load, no gate.
+        out = pl.pallas_call(
+            functools.partial(_plain_attention_kernel, scale=scale),
+            in_specs=[qkv_spec, qkv_spec, qkv_spec, pad_spec],
+            **common,
+        )(q, k, v, pad_bias)
+    else:
+        if gate is None:
+            gate_arr = jnp.ones((bsz, heads, seq_p), q.dtype)
+        else:
+            gate_arr = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_seq))) if pad_seq else gate
+        gate_arr = gate_arr[..., None]  # [B, H, T, 1]
+        out = pl.pallas_call(
+            functools.partial(_attention_kernel, scale=scale),
+            in_specs=[
+                qkv_spec,
+                qkv_spec,
+                qkv_spec,
+                pl.BlockSpec((1, seq_p, seq_p), lambda h, b: (h, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nb, 1, seq_p, 1), lambda h, b: (b, h, 0, 0), memory_space=pltpu.VMEM),
+                pad_spec,
+            ],
+            **common,
+        )(q, k, v, pos_bias, gate_arr, pad_bias)
     if pad_seq:
         out = out[:, :, :seq, :]
     return out
@@ -214,22 +262,45 @@ def _fwd(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_b):
 def _bwd(scale, _interpret, _block_b, residuals, g):
     q, k, v, pos_bias, gate, key_padding_mask = residuals
     has_gate = gate is not None
+    has_bias = pos_bias is not None
 
     def ref(q, k, v, pos_bias, gate):
         return _attention_reference(
-            q, k, v, pos_bias, gate if has_gate else None, key_padding_mask, scale
+            q,
+            k,
+            v,
+            pos_bias if has_bias else None,
+            gate if has_gate else None,
+            key_padding_mask,
+            scale,
         )
 
     # Recompute-based backward through the identical jnp math (the standard
     # XLA path); the boolean mask is non-differentiable (float0 cotangent).
-    _, vjp = jax.vjp(ref, q, k, v, pos_bias, gate if has_gate else jnp.zeros(()))
+    # Absent optional inputs ride through jax.vjp as unused 0-d placeholders
+    # so the output structure matches the primal's (None cotangents back).
+    _, vjp = jax.vjp(
+        ref,
+        q,
+        k,
+        v,
+        pos_bias if has_bias else jnp.zeros(()),
+        gate if has_gate else jnp.zeros(()),
+    )
     dq, dk, dv, dbias, dgate = vjp(g)
     dmask = (
         None
         if key_padding_mask is None
         else np.zeros(key_padding_mask.shape, dtype=jax.dtypes.float0)
     )
-    return (dq, dk, dv, dbias, dgate if has_gate else None, dmask)
+    return (
+        dq,
+        dk,
+        dv,
+        dbias if has_bias else None,
+        dgate if has_gate else None,
+        dmask,
+    )
 
 
 _gated_bias_attention.defvjp(_fwd, _bwd)
@@ -239,7 +310,7 @@ def gated_bias_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    pos_bias: jnp.ndarray,
+    pos_bias: Optional[jnp.ndarray],
     gate: Optional[jnp.ndarray] = None,
     key_padding_mask: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
@@ -250,7 +321,9 @@ def gated_bias_attention(
 
     Args:
         q, k, v: ``[B, H, T, D]``.
-        pos_bias: shared bias ``[H, T, T]`` (batch-independent).
+        pos_bias: shared bias ``[H, T, T]`` (batch-independent), or None for
+            plain bias-free attention (the EAT / Bird-MAE ViT blocks) — a
+            simplified kernel cell skips the bias load and the gate entirely.
         gate: per-query gate ``[B, H, T]`` (or None for plain bias).
         key_padding_mask: ``[B, T]`` boolean, True = padded key.
         scale: logit scale, default ``1/sqrt(D)``.

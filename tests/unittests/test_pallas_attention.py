@@ -81,6 +81,96 @@ def test_matches_reference_12_heads_batch_packed(rng):
     np.testing.assert_allclose(got_valid, exp_valid, atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("seq", [24, 513])  # 513 = the EAT/Bird-MAE token count
+def test_bias_free_matches_reference(rng, seq):
+    """pos_bias=None routes to the simplified ViT cell (no bias load, no gate)."""
+    b, h, d = 2, 4, 64
+    q = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+
+    out = gated_bias_attention(q, k, v, pos_bias=None, interpret=True)
+    expected = dot_product_attention(q, k, v, scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_bias_free_padding_mask(rng):
+    b, h, seq, d = 2, 2, 16, 32
+    q = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    pad = np.zeros((b, seq), bool)
+    pad[1, 10:] = True
+    pad = jnp.asarray(pad)
+
+    out = gated_bias_attention(q, k, v, None, key_padding_mask=pad, interpret=True)
+    bias = jnp.where(pad[:, None, None, :], -jnp.inf, 0.0)
+    expected = dot_product_attention(q, k, v, bias=bias, scale=d**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_bias_free_gradients_match_xla(rng):
+    """The custom backward composes with grad when both optionals are None."""
+    b, h, seq, d = 1, 2, 8, 16
+    q = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, h, seq, d)).astype(np.float32))
+
+    def loss_pallas(q, k, v):
+        return gated_bias_attention(q, k, v, pos_bias=None, interpret=True).sum()
+
+    def loss_xla(q, k, v):
+        return dot_product_attention(q, k, v, scale=d**-0.5).sum()
+
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    want = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4)
+
+
+def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
+    """EAT/Bird-MAE blocks auto-enable the bias-free kernel on TPU at T>=384."""
+    import avex_tpu.ops.pallas_attention as pa
+    from avex_tpu.models.eat import _Block
+
+    calls = []
+    real = pa.gated_bias_attention
+
+    def recorder(*args, **kw):
+        calls.append(kw.get("pos_bias", args[3] if len(args) > 3 else "?"))
+        kw["interpret"] = True
+        return real(*args, **kw)
+
+    monkeypatch.setattr(pa, "gated_bias_attention", recorder)
+
+    b, t, e = 1, 392, 32
+    x = jnp.asarray(rng.standard_normal((b, t, e)).astype(np.float32) * 0.1)
+    block = _Block(dim=e, heads=4)
+    variables = block.init(jax.random.PRNGKey(0), x)
+
+    # CPU backend: XLA path at any T.
+    block.apply(variables, x)
+    assert calls == []
+
+    # Fake TPU backend: kernel at T>=384, bias-free (pos_bias=None) ...
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    out_pallas, _ = block.apply(variables, x)
+    assert len(calls) == 1 and calls[0] is None
+
+    # ... and the routed output matches the XLA path.
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    out_xla, _ = block.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas), np.asarray(out_xla), atol=2e-5, rtol=1e-4
+    )
+
+    # Below the crossover the fake TPU keeps XLA too.
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    short = x[:, :256]
+    block.apply(block.init(jax.random.PRNGKey(0), short), short)
+    assert len(calls) == 1
+
+
 @pytest.mark.slow
 def test_beats_use_pallas_end_to_end(rng):
     """use_pallas=True BEATs forward ≡ the XLA path at 12 heads (interpret
