@@ -48,15 +48,29 @@ T     B      pallas vs XLA   flash vs XLA
 2048  4      1.260x          0.863x
 ====  =====  ==============  =================
 
+The bias-free cell at B=128 (round 4): T=496 1.31x, 513 1.33x, 520 1.36x,
+544 1.35x, 576 1.36x — the win is flat across UNALIGNED lengths too, but
+only after the round-4 wrapper fix: v3 padded odd T to a sublane multiple in
+HLO (``jnp.pad`` q/k/v + out slice), and those four full-tensor round-trips
++ relayouts cost ~1/3 of the kernel's runtime (T=513 measured 0.86x with
+HLO padding, 1.33x without). Mosaic masks unaligned block shapes internally
+at zero HBM cost (on-chip max|Δ| vs the jnp reference at T=513: 6.1e-5), so
+the wrapper now passes logical shapes straight through.
+
 At the 5 s-clip BEATs shape (T=248) XLA still wins by ~3%: its unfused
 schedule overlaps the [T,64] MXU passes of *different* layers' projections
 with the softmax VPU work, which a single-kernel grid cannot. Past T~384 the
 quadratically growing [B,H,T,T] logits/softmax HBM streams dominate and the
 in-VMEM chain wins by 15-35% — long-clip / windowed-recording inference and
-EAT-class 512-token encoders are exactly this regime. ``use_pallas=None``
+EAT-class 513-token encoders are exactly this regime. ``use_pallas=None``
 (the default) therefore auto-enables the kernel for real-TPU traces at
-T >= 384 (``models/beats.py``); cells at T > 512 raise Mosaic's scoped-VMEM
-limit (measured need: 24.3 MB at T=1024, 28 MB at T=2048 — v5e has 128 MB).
+T >= 384 (``models/beats.py``, ``models/eat.py``); cells at T > 512 raise
+Mosaic's scoped-VMEM limit (measured need: 24.3 MB at T=1024, 28 MB at
+T=2048 — v5e has 128 MB). In-model the isolated 1.33x dilutes to +3%
+end-to-end for EAT/Bird-MAE (743 vs 722, 722 vs 702 clips/s): XLA's baseline
+inside the model is faster than in isolation because it fuses the QKV
+split/transpose into the attention chain, which the pallas_call boundary
+prevents.
 """
 
 from __future__ import annotations
@@ -72,10 +86,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["gated_bias_attention"]
-
-
-def _round_up(value: int, multiple: int) -> int:
-    return -(-value // multiple) * multiple
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref, *, scale):
@@ -169,29 +179,21 @@ def _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_
         block_b //= 2
     block_b = max(block_b, 1)
 
-    # Pad the sequence to a sublane multiple; head_dim stays as-is (the
-    # VMEM layout pads the minor dim internally — explicit padding would
-    # only add HBM traffic).
-    seq_p = _round_up(seq, 8)
-    pad_seq = seq_p - seq
-    if pad_seq:
-        widths4 = ((0, 0), (0, 0), (0, pad_seq), (0, 0))
-        q = jnp.pad(q, widths4)
-        k = jnp.pad(k, widths4)
-        v = jnp.pad(v, widths4)
-        if pos_bias is not None:
-            pos_bias = jnp.pad(pos_bias, ((0, 0), (0, pad_seq), (0, pad_seq)))
+    # NO explicit sequence padding: Mosaic masks unaligned block shapes
+    # internally (VMEM buffers round up to the (8, 128) tile grid with
+    # semantics-preserving edge masking in dots and reductions). The v1-v3
+    # kernels padded to a sublane multiple in HLO instead, and the
+    # pad-then-slice round-trips + relayouts of q/k/v/out cost ~1/3 of the
+    # kernel's runtime at odd lengths — measured T=513 (EAT's token count,
+    # pads 7 rows): 0.86x XLA with HLO padding vs 1.36x at the identical
+    # compute shape without it (T=520, round 4, scripts/bench_attention.py).
+    seq_p = seq
 
-    # Additive key mask: padded keys (incl. tile padding) get -inf.
-    valid = jnp.arange(seq_p) < seq
+    # Additive key mask from the caller's padding mask only.
     if key_padding_mask is not None:
-        kpm = key_padding_mask
-        if pad_seq:
-            kpm = jnp.pad(kpm, ((0, 0), (0, pad_seq)), constant_values=True)
-        key_valid = (~kpm) & valid[None, :]
+        pad_bias = jnp.where(key_padding_mask, -jnp.inf, 0.0).astype(jnp.float32)[:, None, :]
     else:
-        key_valid = jnp.broadcast_to(valid[None, :], (bsz, seq_p))
-    pad_bias = jnp.where(key_valid, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]  # [B,1,T]
+        pad_bias = jnp.zeros((bsz, 1, seq_p), jnp.float32)
 
     # heads OUTER, batch INNER: the bias block index only changes when the
     # head does, so Pallas keeps the [T, T] slice resident across the batch.
@@ -230,7 +232,7 @@ def _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_
         if gate is None:
             gate_arr = jnp.ones((bsz, heads, seq_p), q.dtype)
         else:
-            gate_arr = jnp.pad(gate, ((0, 0), (0, 0), (0, pad_seq))) if pad_seq else gate
+            gate_arr = gate
         gate_arr = gate_arr[..., None]  # [B, H, T, 1]
         out = pl.pallas_call(
             functools.partial(_attention_kernel, scale=scale),
@@ -244,8 +246,6 @@ def _forward(q, k, v, pos_bias, gate, key_padding_mask, scale, interpret, block_
             ],
             **common,
         )(q, k, v, pos_bias, gate_arr, pad_bias)
-    if pad_seq:
-        out = out[:, :, :seq, :]
     return out
 
 

@@ -35,6 +35,11 @@ def main() -> None:
         default="xla,pallas,flash",
         help="comma-separated subset of xla,pallas,flash to measure",
     )
+    parser.add_argument(
+        "--no-bias",
+        action="store_true",
+        help="bias-free ViT attention (EAT/Bird-MAE cell) instead of gated-bias",
+    )
     args = parser.parse_args()
     wanted = set(args.contenders.split(","))
 
@@ -57,14 +62,27 @@ def main() -> None:
     # NB: pos_bias/gate are jit ARGUMENTS, not closures — closed-over arrays
     # serialize into the HLO as constants, and at T=2048 the [H, T, T] bias is
     # ~100 MB, which 413s the remote-TPU compile tunnel (CLAUDE.md).
-    def xla_step(q, k, v, pos_bias, gate):
-        bias = gate[..., None] * pos_bias[None]
-        return dot_product_attention(q, k, v, bias=bias, scale=d**-0.5)
+    if args.no_bias:
+        # ViT-style bias-free attention (EAT / Bird-MAE blocks).
+        def xla_step(q, k, v, pos_bias, gate):
+            return dot_product_attention(
+                q, k, v, scale=d**-0.5,
+                logits_dtype=jnp.float32 if dtype == jnp.float32 else dtype,
+            )
 
-    def pallas_step(q, k, v, pos_bias, gate):
-        return gated_bias_attention(
-            q, k, v, pos_bias=pos_bias, gate=gate, scale=d**-0.5, block_b=args.block_b
-        )
+        def pallas_step(q, k, v, pos_bias, gate):
+            return gated_bias_attention(
+                q, k, v, pos_bias=None, scale=d**-0.5, block_b=args.block_b
+            )
+    else:
+        def xla_step(q, k, v, pos_bias, gate):
+            bias = gate[..., None] * pos_bias[None]
+            return dot_product_attention(q, k, v, bias=bias, scale=d**-0.5)
+
+        def pallas_step(q, k, v, pos_bias, gate):
+            return gated_bias_attention(
+                q, k, v, pos_bias=pos_bias, gate=gate, scale=d**-0.5, block_b=args.block_b
+            )
 
     # Third contender: JAX's tuned TPU flash-attention kernel. It only takes a
     # materialized [B, H, T, T] additive bias (`ab`), so the gate x shared-bias
@@ -124,7 +142,7 @@ def main() -> None:
         results[name] = args.iters * b / best  # batches of attention per sec
 
     out = {
-        "metric": "gated_bias_attention",
+        "metric": "plain_attention" if args.no_bias else "gated_bias_attention",
         "shape": f"B{b}xH{h}xT{t}xD{d}",
         "dtype": args.dtype,
         "block_b": args.block_b,
