@@ -101,7 +101,14 @@ class FrameASTModel(nn.Module):
         deterministic: bool = True,
     ):
         if x.ndim == 2:  # raw waveform
-            spec = atst_frontend(x)
+            # bf16 trunk -> bf16-operand rDFT/mel matmuls (fp32 accumulate);
+            # fp32 keeps the torch-parity HIGHEST path (test_atst_parity.py).
+            spec = atst_frontend(
+                x,
+                precision=jax.lax.Precision.HIGHEST
+                if self.dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT,
+            )
         else:
             spec = x  # (B, 64, T)
         # Patch over (freq=64, time=4): conv with kernel (64, 4) on (B, F, T, 1).

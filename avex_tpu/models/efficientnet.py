@@ -347,6 +347,14 @@ class Model(ModelBase):
         self.num_classes = None if return_features_only else num_classes
         self._return_features_only = return_features_only
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        if dtype == jnp.bfloat16 and self.audio_processor is not None:
+            # bf16 trunk -> bf16-operand rDFT/mel matmuls (fp32 accumulate).
+            # Measured on v5e at B=128: full model 14.3 -> 11.25 ms/batch
+            # (8,956 -> 11,379 clips/s) with last-layer feature drift 2.1e-2
+            # vs the HIGHEST frontend; probe metrics survive it (end-task
+            # drift test in tests/integration/test_quant_end_task.py).
+            # fp32 trunks keep the torch-parity HIGHEST default.
+            self.audio_processor.precision = jax.lax.Precision.DEFAULT
         self.module = EfficientNetModel(
             variant=efficientnet_variant, num_classes=self.num_classes, dtype=dtype
         )

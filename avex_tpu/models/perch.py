@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,13 +42,20 @@ PERCH_SAMPLE_RATE = 32000
 PERCH_WINDOW_SECONDS = 5.0
 
 
-def perch_frontend(wav: jnp.ndarray) -> jnp.ndarray:
-    """32 kHz waveform → log-mel ``(B, 160 mels, frames)`` (chirp-style)."""
-    power = stft_power(wav, n_fft=2048, hop_length=320, win_length=640)
+def perch_frontend(wav: jnp.ndarray, precision=None) -> jnp.ndarray:
+    """32 kHz waveform → log-mel ``(B, 160 mels, frames)`` (chirp-style).
+
+    ``precision=None`` (parity default) keeps the fp32 HIGHEST rDFT;
+    bf16-trunk wrappers pass ``jax.lax.Precision.DEFAULT`` for the
+    bf16-operand matmul lowering (see ops/frontend.stft_power).
+    """
+    if precision is None:
+        precision = jax.lax.Precision.HIGHEST
+    power = stft_power(wav, n_fft=2048, hop_length=320, win_length=640, precision=precision)
     mel_fb = jnp.asarray(
         htk_mel_banks(1025, 160, PERCH_SAMPLE_RATE, f_min=60.0, f_max=10000.0).astype(np.float32)
     )
-    mel = jnp.einsum("bkf,km->bmf", power, mel_fb)
+    mel = jnp.einsum("bkf,km->bmf", power, mel_fb, precision=precision)
     return jnp.log(jnp.maximum(mel, 1e-6))
 
 
@@ -143,6 +151,11 @@ class Model(ModelBase):
         self.num_classes = PERCH_NUM_CLASSES
         self.window_samples = int(PERCH_WINDOW_SECONDS * PERCH_SAMPLE_RATE)
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        # bf16 trunk -> bf16-operand frontend matmuls (fp32 accumulate);
+        # fp32 keeps the TF-parity HIGHEST rDFT (test_perch_tf_oracle.py).
+        self._frontend_precision = (
+            jax.lax.Precision.DEFAULT if dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        )
         # TF-provenance semantics: the published checkpoints were trained with
         # TF 'SAME' conv padding and BatchNorm eps 1e-3, which differ from the
         # torchvision defaults (asymmetric stride-2 padding on even inputs;
@@ -180,7 +193,7 @@ class Model(ModelBase):
             x = x[..., start : start + target]
         elif length < target:
             x = jnp.pad(x, ((0, 0), (0, target - length)))
-        spec = perch_frontend(x)
+        spec = perch_frontend(x, precision=self._frontend_precision)
         return jnp.repeat(spec[:, None, :, :], 3, axis=1)
 
     def forward(self, x: jnp.ndarray, padding_mask: Optional[jnp.ndarray] = None):

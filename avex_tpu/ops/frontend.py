@@ -10,6 +10,7 @@ mel projection is one further matmul that XLA fuses into the same program.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -96,23 +97,54 @@ def stft_power(
 
     ``center=True`` reflect-pads by ``n_fft // 2`` on both sides (torch's
     default padding mode), yielding ``1 + T // hop`` frames.
+
+    Lowering: the windowed rDFT is framed into ``[B, frames, n_fft]`` (block
+    decomposition on ``gcd(n_fft, hop)``-sized chunks — reshape + strided
+    slices, no gather) and contracted as ONE ``[B*frames, n_fft] x
+    [n_fft, 2K]`` matmul. The previous strided-conv lowering left XLA a
+    degenerate 1-input-channel conv it tiles badly: measured on v5e at the
+    EfficientNet shape (B=128, 5 s, n_fft=800, hop=160), conv 7.74 ms vs
+    matmul 7.09 ms at HIGHEST (reassociation drift 7e-6) and 4.36 ms with
+    bf16 operands at DEFAULT (scripts/bench_frontend_variants.py, round 4).
+    ``precision=DEFAULT`` casts operands to bf16 with fp32 accumulation —
+    the right frontend for bf16-trunk models; HIGHEST stays the
+    torch-parity default.
     """
-    kernel = jnp.asarray(_stft_kernel(n_fft, win_length, window))
+    kernel = jnp.asarray(_stft_kernel(n_fft, win_length, window)[:, 0, :].T)  # [n_fft, 2K]
     x = waveform.astype(jnp.float32)
     if x.ndim == 1:
         x = x[None]
     if center:
         x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
-    spec = jax.lax.conv_general_dilated(
-        x[:, None, :],
+    b, t = x.shape
+    n_frames = (t - n_fft) // hop_length + 1
+    g = math.gcd(n_fft, hop_length)
+    stride = hop_length // g
+    n_segs = n_fft // g
+    fast = precision in (None, jax.lax.Precision.DEFAULT)
+    if fast:
+        x = x.astype(jnp.bfloat16)
+        kernel = kernel.astype(jnp.bfloat16)
+    blocks = x[:, : (t // g) * g].reshape(b, t // g, g)
+    # frame i, segment j  =  blocks[:, i*stride + j]; each seg is one strided
+    # slice over the frame axis, so framing is pure layout work for XLA.
+    frames = jnp.concatenate(
+        [
+            blocks[:, j : j + (n_frames - 1) * stride + 1 : stride]
+            for j in range(n_segs)
+        ],
+        axis=2,
+    )  # [B, n_frames, n_fft]
+    spec = jnp.einsum(
+        "btn,nk->btk",
+        frames,
         kernel,
-        window_strides=(hop_length,),
-        padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        precision=precision,
-    )  # [B, 2K, F]
+        preferred_element_type=jnp.float32,
+        precision=None if fast else precision,
+    )  # [B, F, 2K], fp32
     k = n_fft // 2 + 1
-    return jnp.square(spec[:, :k, :]) + jnp.square(spec[:, k:, :])
+    power = jnp.square(spec[..., :k]) + jnp.square(spec[..., k:])
+    return jnp.transpose(power, (0, 2, 1))
 
 
 class AudioProcessor:
@@ -125,8 +157,19 @@ class AudioProcessor:
     (audio_utils.py:167-172).
     """
 
-    def __init__(self, cfg: AudioConfig) -> None:
+    def __init__(self, cfg: AudioConfig, precision=jax.lax.Precision.HIGHEST) -> None:
         self.cfg = cfg
+        #: MXU precision for the rDFT + mel matmuls. HIGHEST (6-pass fp32
+        #: emulation) matches torch.stft to ~1e-5 and is the parity default;
+        #: bf16-trunk models drop to DEFAULT (bf16 operands, fp32
+        #: accumulate) — measured 6.6 -> 4.1 ms/batch at the EfficientNet
+        #: B=128 shape with last-layer feature drift 2.1e-2 (HIGH: 5.3 ms,
+        #: 9.6e-3 — the drift is dominated by log/min-max amplification of
+        #: near-zero power bins, not by matmul pass count, so the extra
+        #: passes don't pay; end-task probe metrics are drift-tested in
+        #: tests/integration/test_quant_end_task.py). Measurements:
+        #: scripts/bench_effnet_ablation.py, round 4.
+        self.precision = precision
         self.sr = cfg.sample_rate
         self.n_fft = cfg.n_fft
         self.hop_length = cfg.hop_length or self.n_fft // 4
@@ -154,13 +197,14 @@ class AudioProcessor:
             win_length=self.win_length,
             window=self.window_type,
             center=self.center,
+            precision=self.precision,
         )
         if self.representation == "mel_spectrogram":
             out = jnp.einsum(
                 "bkf,km->bmf",
                 power,
                 jnp.asarray(self._mel_fb),
-                precision=jax.lax.Precision.HIGHEST,
+                precision=self.precision,
             )
         elif self.representation == "spectrogram":
             out = power

@@ -88,6 +88,17 @@ def main() -> None:
           "p99_ms": round(pct(lone, 99), 2), "max_wait_ms": cfg.max_wait_ms,
           "n": len(lone)})
 
+    # Same drive with max_wait_ms=0: isolates the coalescing window's
+    # contribution to lone latency (programs already compiled, so this
+    # second service is free to stand up).
+    svc0 = InferenceService(model, ServiceConfig(
+        clip_seconds=5.0, max_batch=32, max_wait_ms=0.0, mode="embed"))
+    lone0 = [timed_request(svc0, clips[i % len(clips)]) for i in range(LONE_REQUESTS)]
+    emit({"measurement": "lone_wait0", "p50_ms": round(pct(lone0, 50), 2),
+          "p99_ms": round(pct(lone0, 99), 2), "max_wait_ms": 0.0,
+          "n": len(lone0)})
+    svc0.close()
+
     # Per-bucket concurrent latency. Also warms buckets 8 (power-of-two round-up).
     solo = {}
     for n in (1, 8, 32):

@@ -106,6 +106,59 @@ def test_probe_trained_on_float_embeddings_survives_int8(real_audio_dir):
 
 @pytest.mark.integration
 @pytest.mark.slow
+def test_probe_survives_fast_frontend(real_audio_dir):
+    """bf16 EfficientNet defaults to the DEFAULT-precision (bf16-operand)
+    rDFT/mel frontend (round 4, 14.3 -> 11.25 ms/batch on v5e). Its measured
+    2.1e-2 last-layer feature drift must not move probe metrics: train the
+    probe on HIGHEST-frontend embeddings, evaluate on DEFAULT-frontend
+    embeddings, same tolerance regime as the int8 swap above."""
+    import jax
+
+    from avex_tpu.models.efficientnet import Model as EffNet
+
+    model = EffNet(
+        pretrained=False,
+        return_features_only=True,
+        compute_dtype="bfloat16",
+        seed=7,
+        audio_config={
+            "sample_rate": SR,
+            "n_fft": 800,
+            "hop_length": 160,
+            "win_length": 800,
+            "n_mels": 128,
+            "representation": "mel_spectrogram",
+            "normalize": True,
+        },
+    )
+    # Random-weight B0's deepest layer is not linearly separable on this
+    # corpus (8 stages of random conv+BN+SiLU wash out the signal); the stem
+    # + a mid-stage projection are, and together they cover both the
+    # least- and a several-stages-amplified view of the frontend drift.
+    model.register_hooks_for_layers(
+        ["model.features.0.0", "model.features.2.0.block.3.0"]
+    )
+
+    model.audio_processor.precision = jax.lax.Precision.HIGHEST
+    train_w, train_y = _load_split(real_audio_dir, "train")
+    test_w, test_y = _load_split(real_audio_dir, "test")
+    train_x = _embed(model, train_w)
+    test_x_ref = _embed(model, test_w)
+    clf, acc_ref = _probe_accuracy(train_x, train_y, test_x_ref, test_y)
+    assert acc_ref >= 0.6, f"HIGHEST-frontend baseline probe failed to learn ({acc_ref})"
+
+    model.audio_processor.precision = jax.lax.Precision.DEFAULT
+    model._jit_cache.clear()  # precision is baked in at trace time
+    test_x_fast = _embed(model, test_w)
+    acc_fast = float(clf.score(test_x_fast, test_y))
+
+    rel = np.linalg.norm(test_x_fast - test_x_ref) / np.linalg.norm(test_x_ref)
+    assert rel < 0.08, f"fast-frontend embedding drift {rel:.3f}"
+    assert abs(acc_fast - acc_ref) <= ATOL, (acc_ref, acc_fast)
+
+
+@pytest.mark.integration
+@pytest.mark.slow
 def test_probe_trained_on_float_embeddings_survives_tflite(real_audio_dir, tmp_path):
     tf = pytest.importorskip("tensorflow")
 
