@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -233,6 +234,11 @@ class Model(ModelBase):
         self.num_classes = None if return_features_only else num_classes
         self._return_features_only = return_features_only
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        if dtype == jnp.bfloat16 and self.audio_processor is not None:
+            # bf16 trunk -> bf16-operand rDFT/mel matmuls (fp32 accumulate);
+            # same policy + end-task drift guard as EfficientNet
+            # (ops/frontend.py, test_quant_end_task.py).
+            self.audio_processor.precision = jax.lax.Precision.DEFAULT
         self.module = ResNetModel(variant=variant, num_classes=self.num_classes, dtype=dtype)
         dummy = jnp.zeros((1, 3, 64, 64), jnp.float32)
         self.variables = self._init_variables(dummy, seed=seed)
