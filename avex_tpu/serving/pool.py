@@ -17,7 +17,7 @@ on (model, bucket) so the program sets stay disjoint.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Iterator, Optional
+from typing import Any, Dict, Iterator, Optional, Sequence
 
 from avex_tpu.serving.service import InferenceService, ServiceConfig
 
@@ -98,11 +98,18 @@ class ServicePool:
     # Lifecycle
     # ------------------------------------------------------------------
 
-    def warmup(self) -> None:
+    def warmup(self, buckets: Optional[Sequence[int]] = None) -> None:
         """Compile every pooled model's latency + throughput buckets, one
-        model at a time (concurrent first compiles would contend the host)."""
+        model at a time (concurrent first compiles would contend the host).
+
+        ``buckets`` forwards to :meth:`InferenceService.warmup`; pass the
+        bucket sizes production traffic will actually drive — a bucket first
+        reached under load compiles mid-request and lands a multi-second
+        p99 outlier on whichever request triggered it (measured:
+        docs/serving_bench_r4.jsonl cohost phase before this knob existed).
+        """
         for service in self._services.values():
-            service.warmup()
+            service.warmup(buckets=buckets)
 
     def info(self) -> Dict[str, Any]:
         """Pool metadata for ``GET /models``."""

@@ -65,8 +65,15 @@ def measure_bucket(service, clips, n: int, rounds: int) -> dict:
 
 
 def main() -> None:
+    import argparse
+
     from avex_tpu.models.load import load_model
     from avex_tpu.serving import InferenceService, ServiceConfig, ServicePool
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--cohost-only", action="store_true",
+                        help="skip the solo phases (re-run just cohost)")
+    args = parser.parse_args()
 
     rng = np.random.default_rng(0)
     cfg = ServiceConfig(clip_seconds=5.0, max_batch=32, max_wait_ms=10.0, mode="embed")
@@ -75,12 +82,16 @@ def main() -> None:
     emit({"phase": "load", "note": "full-size BEATs, random weights (same compute graph)"})
     model = load_model("esp_aves2_sl_beats_all", random_weights=True, return_features_only=True)
 
+    if args.cohost_only:
+        _cohost(model, cfg, clips, solo_p99=None)
+        return
+
     service = InferenceService(model, cfg)
     t0 = time.perf_counter()
-    service.warmup()
+    service.warmup(buckets=[1, 8, 32])
     warmup_s = time.perf_counter() - t0
     emit({"measurement": "warmup", "seconds": round(warmup_s, 1),
-          "buckets_compiled": [1, cfg.max_batch]})
+          "buckets_compiled": [1, 8, 32]})
 
     # Lone-request latency on an idle server (includes the max_wait_ms window).
     lone = [timed_request(service, clips[i % len(clips)]) for i in range(LONE_REQUESTS)]
@@ -112,20 +123,31 @@ def main() -> None:
     service.close()
 
     # Co-hosting: two full BEATs services in one pool, interleaved load.
+    _cohost(model, cfg, clips, solo_p99=solo[8]["p99_ms"])
+
+
+def _cohost(model, cfg, clips, solo_p99) -> None:
+    from avex_tpu.models.load import load_model
+    from avex_tpu.serving import ServicePool
+
     emit({"phase": "cohost", "note": "two pooled BEATs, interleaved bucket-8 load"})
     model_b = load_model("esp_aves2_sl_beats_all", random_weights=True,
                          return_features_only=True)
     pool = ServicePool.from_models({"a": model, "b": model_b}, config=cfg)
-    pool.warmup()
+    # Warm the buckets the load below drives: a bucket first reached under
+    # traffic compiles mid-request (measured 55.6 s p99 outlier without this).
+    pool.warmup(buckets=[1, 8, 32])
     results = {}
     with ThreadPoolExecutor(max_workers=2) as top:
         fa = top.submit(measure_bucket, pool.get("a"), clips, 8, ROUNDS)
         fb = top.submit(measure_bucket, pool.get("b"), clips, 8, ROUNDS)
         results["a"], results["b"] = fa.result(), fb.result()
     for name, res in results.items():
-        emit({"measurement": f"cohost_bucket_8_{name}", **res,
-              "solo_p99_ms": solo[8]["p99_ms"],
-              "p99_vs_solo": round(res["p99_ms"] / solo[8]["p99_ms"], 2)})
+        row = {"measurement": f"cohost_bucket_8_{name}", **res}
+        if solo_p99:
+            row["solo_p99_ms"] = solo_p99
+            row["p99_vs_solo"] = round(res["p99_ms"] / solo_p99, 2)
+        emit(row)
     pool.close()
 
 

@@ -316,6 +316,25 @@ def test_pool_routes_to_the_named_model(pool_models):
     assert pool.get("big").info()["stats"]["requests"] == big_before + 1
 
 
+def test_pool_warmup_forwards_buckets():
+    """pool.warmup(buckets=...) compiles the requested bucket in EVERY
+    pooled service — a bucket first reached under live traffic compiles
+    mid-request (measured as a 55.6 s p99 outlier on the chip,
+    docs/serving_bench_r4.jsonl)."""
+    from avex_tpu.serving import ServicePool
+
+    cfg = ServiceConfig(clip_seconds=0.5, max_batch=8, max_wait_ms=5)
+    pool = ServicePool.from_models(
+        {"a": avex_tpu.build_model_from_spec(_tiny_spec())}, config=cfg
+    )
+    try:
+        pool.warmup(buckets=[1, 2, 8])
+        buckets = set(pool.get("a").info()["stats"]["bucket_counts"])
+        assert {1, 2, 8} <= buckets
+    finally:
+        pool.close()
+
+
 def test_pool_contract():
     from avex_tpu.serving import ServicePool
 
