@@ -71,6 +71,39 @@ def _raw_loader(
     )
 
 
+def _probe_info(probe, probe_cfg, model) -> Dict[str, Any]:
+    """Structured probe/run metadata persisted with each evaluation record.
+
+    The reference recovers probe type, layer set, parameter counts, and
+    learned layer weights by regex-scraping run logs after the fact
+    (scripts/icassp/extract_metrics_from_logs.py, README_extract_metrics.md);
+    here they are first-class fields of the JSONL record, so the analysis
+    toolkit (scripts/analysis/) never parses logs.
+    """
+    import jax
+
+    def count(tree) -> int:
+        return int(sum(int(np.size(x)) for x in jax.tree_util.tree_leaves(tree)))
+
+    probe_params = count(probe.variables.get("params", {}))
+    base_params = count(model.variables["params"]) if getattr(model, "variables", None) else 0
+    frozen = bool(getattr(probe, "freeze_backbone", True))
+    info: Dict[str, Any] = {
+        "probe_type": probe_cfg.probe_type,
+        "layers": [str(layer) for layer in probe_cfg.target_layers],
+        "probe_trainable": probe_params,
+        "probe_total": probe_params,
+        "base_trainable": 0 if frozen else base_params,
+        "base_total": base_params,
+    }
+    layer_weights = probe.variables.get("params", {}).get("layer_weights")
+    if layer_weights is not None:
+        raw = np.asarray(layer_weights, dtype=np.float64)
+        norm = np.exp(raw - raw.max())
+        info["layer_weights"] = [float(x) for x in norm / norm.sum()]
+    return info
+
+
 def _extraction_mesh():
     """Data-parallel mesh for embedding extraction: all chips on the data
     axis (the BASELINE "batched on v5e-8" workload); None on one device."""
@@ -149,6 +182,7 @@ def run_experiment(
         model.disable_layerdrop = True
 
     metrics_out: Dict[str, Any] = {}
+    probe_info: Dict[str, Any] = {}
     loaders = {
         name: _raw_loader(
             ds, config, target_len, num_classes, name == "train",
@@ -232,6 +266,7 @@ def run_experiment(
                 seed=config.seed,
             )
         metrics_out["probe"] = {f"test_{k}": v for k, v in probe_metrics.items()}
+        probe_info = _probe_info(_trainer.probe, probe_cfg, model)
 
     # Retrieval / clustering over pooled test embeddings -----------------
     if {"retrieval", "clustering"} & set(config.eval_modes) and splits["test"] is not None:
@@ -275,7 +310,13 @@ def run_experiment(
             )
 
     metrics_out["duration_seconds"] = time.time() - t_start
-    return {"experiment": experiment.run_name, "evaluation_set": eval_set.name, "metrics": metrics_out, "model": model}
+    return {
+        "experiment": experiment.run_name,
+        "evaluation_set": eval_set.name,
+        "metrics": metrics_out,
+        "probe_info": probe_info,
+        "model": model,
+    }
 
 
 def main(config: EvaluateConfig) -> List[Dict[str, Any]]:

@@ -111,6 +111,20 @@ def test_offline_linear_probe_with_retrieval_and_clustering(tmp_path):
     save_dir = Path(config.save_dir)
     assert (save_dir / "evaluation_metadata.jsonl").exists()
     assert (save_dir / "summary.csv").exists()
+
+    # probe_info is first-class in the JSONL (the reference log-scrapes
+    # these facts — scripts/icassp/extract_metrics_from_logs.py; ours feed
+    # scripts/analysis/ directly).
+    with open(save_dir / "evaluation_metadata.jsonl") as f:
+        record = json.loads(f.readline())
+    info = record["probe_info"]
+    assert info["probe_type"] == "linear"
+    assert info["layers"] == ["last_layer"]
+    assert info["probe_trainable"] > 0
+    assert info["probe_total"] == info["probe_trainable"]
+    assert info["base_trainable"] == 0  # frozen backbone
+    assert info["base_total"] > info["probe_total"]
+    assert "layer_weights" not in info  # single layer learns no weighting
     caches = list((save_dir / "embeddings").rglob("*.h5"))
     assert caches, "embedding caches were not written"
 
@@ -138,6 +152,11 @@ def test_online_attention_probe(tmp_path):
     )
     results = run_evaluate_main(config)
     assert 0.0 <= results[0]["metrics"]["probe"]["test_accuracy"] <= 1.0
+    # Multi-layer probe: normalized learned layer weights persist with the
+    # record (consumed by scripts/analysis/plots.py plot_layer_weights).
+    weights = results[0]["probe_info"]["layer_weights"]
+    assert len(weights) >= 2
+    assert abs(sum(weights) - 1.0) < 1e-6
 
 
 @pytest.mark.integration
