@@ -203,7 +203,6 @@ EXPORT_MATRIX = [
     ("efficientnet_b0", _effnet_model, 1.0, 16000, 1e-4),
     ("perch_b1", _perch_model, 5.0, 160000, 1e-4),
     ("aves_hubert", _aves_model, 1.0, 16000, 1e-4),
-    ("beats_int8", _beats_int8_model, 1.0, 16000, 1e-4),
 ]
 
 
@@ -236,13 +235,35 @@ def test_export_matrix_tflite_roundtrip(name, build, clip_s, n_samples, atol):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=atol)
 
 
+def test_int8_w8a8_does_not_legalize_to_tflite():
+    """MEASURED non-legalization (kept deliberately green): the W8A8
+    dynamic-quant path emits a raw s8×s8→s32 ``dot_general``
+    (avex_tpu/quant/__init__.py:104), and TF 2.21's TFLite converter
+    rejects it — ``tfl.fully_connected`` accepts float or QI8-*typed*
+    operands, not raw ``tensor<...xi8>``. Edge int8 therefore goes through
+    TFLite's own quantization on a FLOAT export (``quantize_float16`` or
+    TFLite PTQ), never through the on-device W8A8 mode; support table in
+    docs/export.md. If a TF upgrade ever legalizes this, the test failing
+    is the signal to flip the docs."""
+    from tensorflow.lite.python.convert_phase import ConverterError
+
+    from avex_tpu.export import export_tflite
+
+    model = _beats_int8_model()
+    with pytest.raises(ConverterError, match="fully_connected"):
+        export_tflite(
+            model, mode="embed", layers=["last_layer"], aggregation="mean",
+            clip_seconds=1.0, batch_size=1,
+        )
+
+
 @pytest.mark.parametrize("name,build,clip_s,n_samples,atol",
-                         [EXPORT_MATRIX[0], EXPORT_MATRIX[1]],
-                         ids=["efficientnet_b0", "perch_b1"])
+                         EXPORT_MATRIX, ids=[m[0] for m in EXPORT_MATRIX])
 def test_export_matrix_savedmodel_batch_stats(name, build, clip_s, n_samples,
                                               atol, tmp_path):
-    """The batch-stats CNNs also round-trip through SavedModel (the Perch
-    deployment format) with a polymorphic batch axis."""
+    """The matrix families also round-trip through SavedModel (the Perch
+    deployment format) with a polymorphic batch axis — the batch-stats CNNs
+    are the interesting cells (collections under jax2tf)."""
     from avex_tpu.export import export_savedmodel
 
     model = build()
