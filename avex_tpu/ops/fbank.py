@@ -240,18 +240,43 @@ class KaldiFbank:
         squeeze = waveforms.ndim == 1
         if squeeze:
             waveforms = waveforms[None]
-        x = waveforms.astype(jnp.float32)[:, None, :]  # [B, 1, T]
-        spec = jax.lax.conv_general_dilated(
-            x,
-            kernel,
-            window_strides=(self.hop_length,),
-            padding="VALID",
-            dimension_numbers=("NCH", "OIH", "NCH"),
+        x = waveforms.astype(jnp.float32)  # [B, T]
+        b, t = x.shape
+        f = num_frames(t, self.win_length, self.hop_length)
+        if f <= 0:
+            out = jnp.zeros((b, 0, self.num_mel_bins), jnp.float32)
+            return out[0] if squeeze else out
+        # Matmul rDFT lowering (same finding as ops/frontend.py stft_power,
+        # round 4): the strided conv with 1 input channel and 2K output
+        # channels is a degenerate shape XLA tiles badly on the MXU.
+        # Frame into [B, F, win] by gcd(win, hop)-block decomposition —
+        # reshape + strided slices, pure layout work, no gather — and
+        # contract as one [B*F, win] x [win, 2K] matmul.
+        # `kernel` keeps the conv layout [2K, 1, win] (it is stored as a
+        # checkpoint variable by callers — models/beats.py:479-484); the
+        # transpose below is free relayout under XLA.
+        kernel2d = kernel[:, 0, :].T  # [win, 2K]
+        g = np.gcd(self.win_length, self.hop_length)
+        stride = self.hop_length // g
+        n_segs = self.win_length // g
+        blocks = x[:, : (t // g) * g].reshape(b, t // g, g)
+        frames = jnp.concatenate(
+            [
+                blocks[:, j : j + (f - 1) * stride + 1 : stride]
+                for j in range(n_segs)
+            ],
+            axis=2,
+        )  # [B, F, win]
+        spec = jnp.einsum(
+            "bfn,nk->bfk",
+            frames,
+            kernel2d,
             precision=precision,
-        )  # [B, 2K, F]
+            preferred_element_type=jnp.float32,
+        )  # [B, F, 2K]
         k = self.n_fft // 2 + 1
-        power = jnp.square(spec[:, :k, :]) + jnp.square(spec[:, k:, :])
-        mel = jnp.einsum("bkf,km->bfm", power, mel_fb, precision=precision)
+        power = jnp.square(spec[..., :k]) + jnp.square(spec[..., k:])
+        mel = jnp.einsum("bfk,km->bfm", power, mel_fb, precision=precision)
         out = jnp.log(jnp.maximum(mel, _F32_EPS))
         return out[0] if squeeze else out
 
