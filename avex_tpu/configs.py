@@ -570,6 +570,11 @@ class MeshConfig(BaseModel):
     param_sharding: Literal["replicated", "fsdp"] = "replicated"
     #: tensors with fewer elements stay replicated under fsdp (biases, norms)
     fsdp_min_size: int = 2**16
+    #: > 0 enables pipeline parallelism over the ``model`` axis for models
+    #: with a scanned layer stack (GPipe schedule, parallel/pipeline.py): the
+    #: stacked layer axis shards one stage per device and the batch splits
+    #: into this many microbatches. 0 = off.
+    pipeline_microbatches: int = 0
 
 
 class RunConfig(BaseCLIConfig):

@@ -24,7 +24,7 @@ Weight conversion from reference torch checkpoints lives in
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -311,6 +311,9 @@ class _TransformerEncoder(nn.Module):
 
     cfg: BEATsConfig
     dtype: Any = jnp.float32
+    # Optional pipeline-parallel runner for the scanned layer stack
+    # (parallel/pipeline.make_pipeline_runner); None = run layers in-process.
+    layer_runner: Optional[Callable] = None
 
     @nn.compact
     def __call__(
@@ -382,7 +385,47 @@ class _TransformerEncoder(nn.Module):
         )
 
         intermediates: Dict[str, jnp.ndarray] = {}
-        if getattr(cfg, "scan_layers", False):
+        if (
+            self.layer_runner is not None
+            and getattr(cfg, "scan_layers", False)
+            and not self.is_initializing()
+        ):
+            # Pipeline-parallel layer stack: the nn.scan-stacked params shard
+            # one stage per device and microbatches stream through via
+            # ppermute (parallel/pipeline.py). Deterministic-only: per-layer
+            # dropout rngs do not thread through the pipeline schedule.
+            if use_layerdrop:
+                raise ValueError("pipelined encoder does not support layerdrop")
+            if not deterministic and max(
+                cfg.dropout, cfg.attention_dropout, cfg.activation_dropout
+            ) > 0:
+                raise ValueError(
+                    "pipelined encoder is deterministic-only; set the encoder "
+                    "dropout rates to 0 to train with pipeline parallelism"
+                )
+            stacked = self.get_variable("params", "layers")
+            has_mask = padding_mask is not None
+            has_bias = position_bias is not None
+            ratio = cfg.layer_wise_gradient_decay_ratio
+            # parent=None: a free-standing functional twin of the scanned
+            # layer (constructing it inside this compact method would
+            # auto-register it as a child and forbid .apply on it).
+            layer_module = _EncoderLayer(cfg=cfg, dtype=self.dtype, parent=None)
+
+            def layer_fn(p, h, *extras):
+                mask = extras[0] if has_mask else None
+                bias = extras[-1] if has_bias else None
+                if ratio != 1.0:
+                    h = grad_multiply(h, ratio)
+                new_h, _fc2 = layer_module.apply({"params": p}, h, bias, mask, True)
+                return new_h
+
+            batched = (padding_mask,) if has_mask else ()
+            shared = (position_bias,) if has_bias else ()
+            x = self.layer_runner(layer_fn, stacked, x, batched, shared)
+            # fc2 intermediates are not captured under pipelining: only the
+            # final activations cross stage boundaries.
+        elif getattr(cfg, "scan_layers", False):
             # Compile-time optimization: one traced layer body scanned L times
             # (params stacked on a leading layer axis). Semantics identical to
             # the unrolled loop; weight conversion stacks per-layer tensors
@@ -454,6 +497,7 @@ class BEATsBackbone(nn.Module):
 
     cfg: BEATsConfig
     dtype: Any = jnp.float32
+    layer_runner: Optional[Callable] = None
 
     @nn.compact
     def __call__(
@@ -522,7 +566,9 @@ class BEATsBackbone(nn.Module):
 
         x = nn.Dropout(cfg.dropout_input)(x, deterministic=deterministic)
 
-        x, enc_inter = _TransformerEncoder(cfg=cfg, dtype=self.dtype, name="encoder")(
+        x, enc_inter = _TransformerEncoder(
+            cfg=cfg, dtype=self.dtype, layer_runner=self.layer_runner, name="encoder"
+        )(
             x,
             padding_mask=padding_mask,
             deterministic=deterministic,
@@ -563,6 +609,7 @@ class BEATsModel(nn.Module):
     num_classes: Optional[int] = None
     use_naturelm: bool = False
     dtype: Any = jnp.float32
+    layer_runner: Optional[Callable] = None
 
     @nn.compact
     def __call__(
@@ -574,7 +621,10 @@ class BEATsModel(nn.Module):
     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
         if self.use_naturelm:
             x = jnp.clip(x, -1.0, 1.0)
-        features, aux = BEATsBackbone(cfg=self.cfg, dtype=self.dtype, name="backbone")(
+        features, aux = BEATsBackbone(
+            cfg=self.cfg, dtype=self.dtype, layer_runner=self.layer_runner,
+            name="backbone",
+        )(
             x,
             padding_mask=padding_mask,
             deterministic=deterministic,
@@ -875,6 +925,33 @@ class Model(ModelBase):
             num_classes=self.num_classes,
             use_naturelm=self.use_naturelm,
             dtype=self.module.dtype,
+        )
+        self._jit_cache.clear()
+
+    def enable_pipeline(self, mesh, num_microbatches: Optional[int] = None) -> None:
+        """Rebuild the module to run the encoder layer stack pipeline-parallel
+        over ``mesh``'s model axis (GPipe schedule — parallel/pipeline.py):
+        each device holds ``encoder_layers / stages`` consecutive layers and
+        microbatches stream through via ppermute.
+
+        Requires the nn.scan parameter layout (``scan_layers=True`` — stages
+        shard the stacked layer axis) and a deterministic encoder (encoder
+        dropout rates must be 0 to train pipelined).
+        """
+        from avex_tpu.parallel.pipeline import make_pipeline_runner
+
+        if not getattr(self.cfg, "scan_layers", False):
+            raise ValueError(
+                "pipeline parallelism needs the stacked (scan_layers=True) "
+                "parameter layout; construct the model with "
+                'init_config={"scan_layers": True}'
+            )
+        self.module = BEATsModel(
+            cfg=self.cfg,
+            num_classes=self.num_classes,
+            use_naturelm=self.use_naturelm,
+            dtype=self.module.dtype,
+            layer_runner=make_pipeline_runner(mesh, num_microbatches=num_microbatches),
         )
         self._jit_cache.clear()
 

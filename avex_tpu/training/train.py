@@ -92,6 +92,23 @@ class Trainer:
         self.mesh = mesh or make_mesh(
             data=config.mesh.data, model=config.mesh.model, axis_names=config.mesh.axis_names
         )
+        self._pipeline = int(getattr(config.mesh, "pipeline_microbatches", 0) or 0)
+        if self._pipeline:
+            # Pipeline parallelism over the model axis (GPipe schedule,
+            # parallel/pipeline.py): the model rebuilds its module so the
+            # scanned layer stack runs stage-sharded; stacked params are
+            # placed one stage per device in _place_params.
+            if getattr(config.mesh, "param_sharding", "replicated") == "fsdp":
+                raise ValueError(
+                    "pipeline_microbatches and param_sharding='fsdp' do not "
+                    "compose (the layer stack shards over the model axis)"
+                )
+            if not hasattr(model, "enable_pipeline"):
+                raise ValueError(
+                    f"model {type(model).__name__} does not support pipeline "
+                    "parallelism (no enable_pipeline; needs a scanned layer stack)"
+                )
+            model.enable_pipeline(self.mesh, self._pipeline)
         self.strategy = make_strategy(
             config.label_type, config.loss_function, config.multilabel
         )
@@ -275,6 +292,10 @@ class Trainer:
             return shard_params_fsdp(
                 params, self.mesh, min_size=self.config.mesh.fsdp_min_size
             )
+        if self._pipeline:
+            from avex_tpu.parallel.pipeline import shard_pipeline_params
+
+            return shard_pipeline_params(params, self.mesh)
         return replicate(params, self.mesh)
 
     def _init_opt_state(self, params: Any) -> Any:
