@@ -575,6 +575,11 @@ class MeshConfig(BaseModel):
     #: stacked layer axis shards one stage per device and the batch splits
     #: into this many microbatches. 0 = off.
     pipeline_microbatches: int = 0
+    #: Megatron-SP sequence parallelism over the ``model`` axis
+    #: (parallel/sequence.py): encoder activations re-shard [B, T, E] on T at
+    #: every layer boundary, so elementwise/LN/FFN work runs sequence-sharded
+    #: (composes with tensor-parallel kernel sharding on the same axis).
+    sequence_parallel: bool = False
 
 
 class RunConfig(BaseCLIConfig):

@@ -390,18 +390,21 @@ class _TransformerEncoder(nn.Module):
             and getattr(cfg, "scan_layers", False)
             and not self.is_initializing()
         ):
-            # Pipeline-parallel layer stack: the nn.scan-stacked params shard
-            # one stage per device and microbatches stream through via
-            # ppermute (parallel/pipeline.py). Deterministic-only: per-layer
-            # dropout rngs do not thread through the pipeline schedule.
+            # Runner-driven layer stack: pipeline parallelism (the stacked
+            # params shard one GPipe stage per device and microbatches stream
+            # via ppermute — parallel/pipeline.py) or sequence parallelism
+            # (activations re-shard [B, T, E] on T at layer boundaries —
+            # parallel/sequence.py). Deterministic-only: per-layer dropout
+            # rngs do not thread through the runner contract.
             if use_layerdrop:
-                raise ValueError("pipelined encoder does not support layerdrop")
+                raise ValueError("runner-driven encoder does not support layerdrop")
             if not deterministic and max(
                 cfg.dropout, cfg.attention_dropout, cfg.activation_dropout
             ) > 0:
                 raise ValueError(
-                    "pipelined encoder is deterministic-only; set the encoder "
-                    "dropout rates to 0 to train with pipeline parallelism"
+                    "runner-driven encoder (pipeline/sequence-parallel) is "
+                    "deterministic-only; set the encoder dropout rates to 0 "
+                    "to train with it"
                 )
             stacked = self.get_variable("params", "layers")
             has_mask = padding_mask is not None
@@ -952,6 +955,31 @@ class Model(ModelBase):
             use_naturelm=self.use_naturelm,
             dtype=self.module.dtype,
             layer_runner=make_pipeline_runner(mesh, num_microbatches=num_microbatches),
+        )
+        self._jit_cache.clear()
+
+    def enable_sequence_parallel(self, mesh) -> None:
+        """Rebuild the module with Megatron-SP sequence parallelism: encoder
+        activations re-shard ``[B, T(model axis), E]`` at every layer
+        boundary (parallel/sequence.py), so LayerNorm/residual/FFN work runs
+        sequence-sharded and XLA gathers only for attention. Values are
+        unchanged (GSPMD). Requires the scanned (``scan_layers=True``)
+        encoder, like :meth:`enable_pipeline`.
+        """
+        from avex_tpu.parallel.sequence import make_sequence_parallel_runner
+
+        if not getattr(self.cfg, "scan_layers", False):
+            raise ValueError(
+                "sequence parallelism needs the stacked (scan_layers=True) "
+                "parameter layout; construct the model with "
+                'init_config={"scan_layers": True}'
+            )
+        self.module = BEATsModel(
+            cfg=self.cfg,
+            num_classes=self.num_classes,
+            use_naturelm=self.use_naturelm,
+            dtype=self.module.dtype,
+            layer_runner=make_sequence_parallel_runner(mesh),
         )
         self._jit_cache.clear()
 

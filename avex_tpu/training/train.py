@@ -93,6 +93,22 @@ class Trainer:
             data=config.mesh.data, model=config.mesh.model, axis_names=config.mesh.axis_names
         )
         self._pipeline = int(getattr(config.mesh, "pipeline_microbatches", 0) or 0)
+        self._seq_parallel = bool(getattr(config.mesh, "sequence_parallel", False))
+        if self._pipeline and self._seq_parallel:
+            raise ValueError(
+                "pipeline_microbatches and sequence_parallel both claim the "
+                "encoder layer runner; enable one"
+            )
+        if self._seq_parallel:
+            # Megatron-SP (parallel/sequence.py): activations re-shard on the
+            # time axis at layer boundaries; params keep their configured
+            # layout (composes with the TP kernel sharding on the same axis).
+            if not hasattr(model, "enable_sequence_parallel"):
+                raise ValueError(
+                    f"model {type(model).__name__} does not support sequence "
+                    "parallelism (no enable_sequence_parallel)"
+                )
+            model.enable_sequence_parallel(self.mesh)
         if self._pipeline:
             # Pipeline parallelism over the model axis (GPipe schedule,
             # parallel/pipeline.py): the model rebuilds its module so the
