@@ -188,7 +188,7 @@ class ProbeConfig(BaseModel):
 
     model_config = ConfigDict(extra="forbid")
 
-    probe_type: Literal["linear", "mlp", "lstm", "attention", "transformer"] = "linear"
+    probe_type: Literal["linear", "mlp", "lstm", "attention", "transformer", "moe"] = "linear"
     aggregation: Literal["mean", "max", "cls_token", "none"] = "mean"
     input_processing: Literal["flatten", "sequence", "pooled", "none"] = "flatten"
     target_layers: List[Union[str, int]] = Field(default_factory=lambda: ["last_layer"])
@@ -207,6 +207,12 @@ class ProbeConfig(BaseModel):
     # LSTM
     lstm_hidden_size: Optional[int] = None
     bidirectional: bool = False
+
+    # MoE (avex-tpu extension: expert-parallel routed MLP head, ops/moe.py)
+    num_experts: Optional[int] = None
+    moe_hidden_dim: Optional[int] = None
+    moe_k: Optional[int] = None
+    capacity_factor: Optional[float] = None
 
     # Sequence handling
     max_sequence_length: Optional[int] = None

@@ -173,6 +173,19 @@ class FineTuneTrainer:
         donate = (0, 1) if os.environ.get("AVEX_TPU_DONATE", "1") == "1" else ()
         return tx, jax.jit(train_step, donate_argnums=donate), jax.jit(eval_step)
 
+    def _place_trainable(self, trainable):
+        """Mesh placement for the trainable tree. MoE probe heads go
+        expert-parallel: expert tensors shard one slice per device over the
+        model axis (ops/moe.shard_moe_params); everything else replicates."""
+        if (
+            self.probe.probe_type == "moe"
+            and int(dict(self.mesh.shape).get("model", 1)) > 1
+        ):
+            from avex_tpu.ops.moe import shard_moe_params
+
+            return shard_moe_params(trainable, self.mesh, axis="model")
+        return replicate(trainable, self.mesh)
+
     def _run_eval(self, eval_step, trainable, loader) -> Dict[str, float]:
         calcs = {
             name: get_metric_class(name, self.probe.num_classes)
@@ -202,7 +215,7 @@ class FineTuneTrainer:
         except TypeError:
             steps_per_epoch = 100
         tx, train_step, eval_step = self._make_steps(steps_per_epoch)
-        trainable = replicate(self._trainable, self.mesh)
+        trainable = self._place_trainable(self._trainable)
         opt_state = replicate(tx.init(self._trainable), self.mesh)
         rng = jax.random.PRNGKey(self.seed)
 
@@ -249,7 +262,7 @@ class FineTuneTrainer:
         """Test-set metrics with the (best) trained parameters."""
         if not hasattr(self, "_eval_step"):
             _tx, _train, self._eval_step = self._make_steps(1)
-        trainable = replicate(self._trainable, self.mesh)
+        trainable = self._place_trainable(self._trainable)
         return self._run_eval(self._eval_step, trainable, loader)
 
 

@@ -31,6 +31,7 @@ from avex_tpu.probes.heads import (
     LinearHead,
     LSTMHead,
     MLPHead,
+    MoEHead,
     TransformerHead,
 )
 
@@ -40,6 +41,7 @@ HEAD_CLASSES = {
     "lstm": LSTMHead,
     "attention": AttentionHead,
     "transformer": TransformerHead,
+    "moe": MoEHead,  # avex-tpu extension: expert-parallel routed MLP
 }
 
 #: heads operating on pooled (B, F) inputs vs sequence (B, T, F) inputs.
@@ -49,6 +51,7 @@ HEAD_DIMENSIONALITY = {
     "lstm": 3,
     "attention": 3,
     "transformer": 3,
+    "moe": 2,
 }
 
 

@@ -47,6 +47,13 @@ _HEAD_KWARG_FIELDS: Dict[str, Tuple[str, ...]] = {
         "max_sequence_length",
         "use_positional_encoding",
     ),
+    "moe": (
+        "num_experts",
+        "moe_hidden_dim",
+        "moe_k",
+        "capacity_factor",
+        "dropout_rate",
+    ),
 }
 
 

@@ -52,6 +52,42 @@ class MLPHead(nn.Module):
         return nn.Dense(self.num_classes, name="classifier")(x)
 
 
+class MoEHead(nn.Module):
+    """Mixture-of-experts MLP probe head (avex-tpu extension — the reference
+    has no MoE anywhere): top-k routed experts over pooled embeddings with
+    dense TPU dispatch (``ops/moe.py``). Pass ``mesh`` + ``expert_axis`` to
+    run expert-parallel — each device holds and computes its slice of the
+    expert set."""
+
+    num_classes: int
+    num_experts: int = 4
+    moe_hidden_dim: int = 256
+    moe_k: int = 2
+    capacity_factor: float = 2.0
+    dropout_rate: float = 0.1
+    mesh: object = None
+    expert_axis: Optional[str] = "model"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from avex_tpu.ops.moe import MoEMLP
+
+        h = MoEMLP(
+            num_experts=self.num_experts,
+            hidden_dim=self.moe_hidden_dim,
+            out_dim=self.moe_hidden_dim,
+            k=self.moe_k,
+            capacity_factor=self.capacity_factor,
+            mesh=self.mesh,
+            expert_axis=self.expert_axis,
+            name="moe",
+        )(x)
+        h = jax.nn.gelu(h, approximate=False)
+        if self.dropout_rate > 0:
+            h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+        return nn.Dense(self.num_classes, name="classifier")(h)
+
+
 class LSTMHead(nn.Module):
     """(bi)LSTM over the sequence, mean-pooled outputs → classifier
     (lstm_probe.py:57-104). Hidden size follows the reference's
