@@ -64,6 +64,31 @@ assert float(total) == expected, (float(total), expected)
 metrics = gather_metrics({{"loss": 1.0 + process_id}})
 assert abs(metrics["loss"] - 1.5) < 1e-9, metrics
 
+# --- pipeline parallelism across processes: the model-axis ppermute ring
+# crosses the host boundary (each mesh column holds one device per process).
+import jax.numpy as jnp
+from avex_tpu.parallel.pipeline import pipeline_apply
+
+pmesh = make_mesh(data=2, model=2)
+prng = np.random.default_rng(3)
+stack = {{
+    "w": np.asarray(prng.standard_normal((4, 8, 8)), np.float32) * 0.1,
+    "b": np.asarray(prng.standard_normal((4, 8)), np.float32) * 0.1,
+}}
+px = np.asarray(prng.standard_normal((4, 8)), np.float32)
+
+def _layer(p, h):
+    return jnp.tanh(h @ p["w"] + p["b"])
+
+pipe_out = jax.jit(
+    lambda pp, xx: pipeline_apply(_layer, pp, xx, mesh=pmesh, num_microbatches=2),
+    out_shardings=NamedSharding(pmesh, P()),
+)(stack, px)
+ref = px
+for i in range(4):
+    ref = np.tanh(ref @ stack["w"][i] + stack["b"][i])
+assert np.allclose(np.asarray(pipe_out), ref, atol=1e-5), "cross-host pipeline diverged"
+
 # --- checkpoint: p0-only dir mutation, collective save ---
 from avex_tpu.training.checkpoint import CheckpointManager
 manager = CheckpointManager(out_dir)
