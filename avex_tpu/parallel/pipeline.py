@@ -99,6 +99,9 @@ def pipeline_apply(
       mesh: the device mesh. ``axis`` is the pipeline-stage axis; its size S
         is the stage count. ``data_axis`` (if present in the mesh) shards the
         batch — every data slice runs its own independent pipeline flow.
+        Any FURTHER mesh axis (e.g. a ``tp`` axis) stays GSPMD-automatic
+        inside the stage body: shard the stacked params' feature dims over
+        it (dp×pp×tp) and XLA inserts the tensor-parallel collectives.
       num_microbatches: microbatch count M (default S). The local batch
         ``B / data_axis_size`` must divide by M.
 
@@ -137,6 +140,12 @@ def pipeline_apply(
     param_specs = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
     batched_specs = tuple(batch_spec for _ in batched)
     shared_specs = tuple(P() for _ in shared)
+    # Only the stage axis (and the data axis, when present) go manual; any
+    # OTHER mesh axis stays GSPMD-automatic inside the stage body, so a
+    # third axis can tensor-parallel the per-stage kernels (dp×pp×tp) with
+    # XLA inserting the matching all-reduces — no manual collectives beyond
+    # the stage-hop ppermute.
+    manual_axes = frozenset({axis} | ({data_axis} if data_in_mesh else set()))
 
     def body(params_local, x_local, batched_local, shared_local):
         stage = lax.axis_index(axis)
@@ -169,8 +178,10 @@ def pipeline_apply(
 
         def vary(v):
             # The scan carry is device-varying (stage-dependent); its zero
-            # initializer is not — mark it so the VMA types match.
-            missing = tuple(a for a in mesh.axis_names if a not in jax.typeof(v).vma)
+            # initializer is not — mark it so the VMA types match. Only the
+            # MANUAL axes appear in a vma type; auto (GSPMD) axes must not
+            # be pcast over.
+            missing = tuple(a for a in manual_axes if a not in jax.typeof(v).vma)
             return lax.pcast(v, missing, to="varying") if missing else v
 
         h0 = vary(jnp.zeros(out_sds.shape, out_sds.dtype))
@@ -211,6 +222,7 @@ def pipeline_apply(
         mesh=mesh,
         in_specs=(param_specs, batch_spec, batched_specs, shared_specs),
         out_specs=batch_spec,
+        axis_names=manual_axes,
     )(stacked_params, x, batched, shared)
 
 

@@ -82,6 +82,65 @@ def test_pipeline_grad_parity(toy):
     )
 
 
+def _mesh_3d():
+    """2×2×2 dp×pp×tp mesh: pipe axis manual, tp axis GSPMD-auto."""
+    devices = np.array(jax.devices()[:8]).reshape(2, 2, 2)
+    return jax.sharding.Mesh(devices, ("data", "model", "tp"))
+
+
+def _place_3d(params, x, mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    placed = {
+        # layer (stage) axis manual over 'model'; the contraction output dim
+        # tensor-parallel over the auto 'tp' axis.
+        "w": jax.device_put(params["w"], NamedSharding(mesh, P("model", None, "tp"))),
+        "b": jax.device_put(params["b"], NamedSharding(mesh, P("model", "tp"))),
+    }
+    x = jax.device_put(x, NamedSharding(mesh, P("data")))
+    return placed, x
+
+
+def test_pipeline_composes_with_auto_tp_axis(toy):
+    """dp×pp×tp: the stage axis runs the manual GPipe schedule while a third
+    mesh axis tensor-parallels the per-stage kernels under GSPMD — forward
+    parity vs the sequential loop (float tolerance: TP splits contractions)."""
+    params, x, mask, bias = toy
+    mesh = _mesh_3d()
+    placed, x_s = _place_3d(params, x, mesh)
+    ref = _sequential(_toy_layer, params, x, (mask,), (bias,))
+    out = jax.jit(
+        lambda p, h: pipeline_apply(
+            _toy_layer, p, h, (mask,), (bias,), mesh=mesh, num_microbatches=2
+        )
+    )(placed, x_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_pipeline_tp_composition_grad_parity(toy):
+    params, x, mask, bias = toy
+    mesh = _mesh_3d()
+    placed, x_s = _place_3d(params, x, mesh)
+
+    def loss_pipe(p, h):
+        return pipeline_apply(
+            _toy_layer, p, h, (mask,), (bias,), mesh=mesh, num_microbatches=2
+        ).sum()
+
+    def loss_ref(p, h):
+        return _sequential(_toy_layer, p, h, (mask,), (bias,)).sum()
+
+    g_pipe = jax.jit(jax.grad(loss_pipe))(placed, x_s)
+    g_ref = jax.jit(jax.grad(loss_ref))(params, x)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+        ),
+        g_pipe,
+        g_ref,
+    )
+
+
 def test_pipeline_single_stage_degenerates_to_sequential(toy):
     params, x, mask, bias = toy
     mesh = make_mesh(data=8, model=1)
