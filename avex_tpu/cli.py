@@ -78,9 +78,16 @@ def list_models_cmd() -> None:
                    ".files.json manifest records each row's file + offset")
 @click.option("--hop-seconds", type=float, default=None,
               help="window hop for --windowed (default: the window length)")
+@click.option("--ring-attention", type=click.Choice(["auto", "on", "off"]),
+              default="auto",
+              help="long-window mode: shard each window's attention sequence "
+                   "over all devices (ops/ring_attention.py) so the [T, T] "
+                   "score matrix never materializes on one chip. auto = on "
+                   "for --windowed runs whose windows exceed ~1024 tokens "
+                   "on a multi-device mesh")
 def embed(model_name, input_path, output_path, layers, aggregation,
           batch_size, clip_seconds, random_weights, npy_sr,
-          windowed, hop_seconds) -> None:
+          windowed, hop_seconds, ring_attention) -> None:
     """Embed audio files into an HDF5 cache (the most common one-off task:
     point a model at a directory, get layer-wise embeddings out)."""
     import json
@@ -151,7 +158,38 @@ def embed(model_name, input_path, output_path, layers, aggregation,
 
     from avex_tpu.parallel import make_mesh
 
-    mesh = make_mesh() if jax.device_count() > 1 else None
+    def _estimated_tokens() -> int:
+        """Encoder sequence length one clip-seconds window produces."""
+        cfg = getattr(model, "cfg", None)
+        if cfg is not None and hasattr(cfg, "input_patch_size"):  # BEATs-like
+            sf = float(getattr(cfg, "sample_frequency", 16000.0))
+            frames = 1 + int(
+                (target - getattr(cfg, "frame_length", 25.0) / 1000.0 * sf)
+                // (getattr(cfg, "frame_shift", 10.0) / 1000.0 * sf)
+            )
+            p = int(cfg.input_patch_size)
+            return (frames // p) * (int(cfg.num_mel_bins) // p)
+        tl = getattr(getattr(model, "module", None), "target_length", None)
+        if tl:  # EAT/Bird-MAE fixed spectrogram grid + CLS
+            return (int(tl) // 16) * (128 // 16) + 1
+        return 0
+
+    n_dev = jax.device_count()
+    use_ring = (
+        ring_attention != "off"
+        and n_dev > 1
+        and hasattr(model, "enable_ring_attention")
+        and (ring_attention == "on" or (windowed and _estimated_tokens() >= 1024))
+    )
+    if use_ring:
+        # Long-window mode: the sequence axis of every attention shards over
+        # ALL devices (model axis) and K/V rotate via ppermute — one window's
+        # [T, T] scores never exist on one chip. Batch stays whole per step.
+        mesh = make_mesh(data=1, model=n_dev)
+        model.enable_ring_attention(mesh)
+        click.echo(f"ring attention: sequence sharded over {n_dev} devices")
+    else:
+        mesh = make_mesh() if n_dev > 1 else None
     model.register_hooks_for_layers([s.strip() for s in layers.split(",") if s.strip()])
     extract_embeddings_to_cache(
         model, batches(), output_path, aggregation=aggregation, mesh=mesh

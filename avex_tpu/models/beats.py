@@ -151,6 +151,14 @@ class _GatedRelPosAttention(nn.Module):
     #: W8A8 dynamic int8 projections (q/k/v/out) on the 2x-rate int8 MXU
     #: path — serving mode, converted via Model.quantize() (avex_tpu.quant).
     quantize: bool = False
+    #: ring attention (ops/ring_attention.py): shard the sequence axis over
+    #: this mesh's ``ring_axis`` and rotate K/V chunks via ppermute — the
+    #: long-window inference mode (the [B,H,T,T] score matrix never
+    #: materializes; the gate applies per ring step so the gated bias never
+    #: does either). T pads to a ring multiple with -inf-masked keys when it
+    #: does not divide (exact).
+    ring_mesh: Any = None
+    ring_axis: str = "model"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -190,6 +198,38 @@ class _GatedRelPosAttention(nn.Module):
             )
             gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]
             gate = gate_a * (gate_b * grep_a - 1.0) + 2.0  # [B, H, T, 1]
+
+        ring = self.ring_mesh
+        if ring is not None:
+            from avex_tpu.ops.ring_attention import ring_attention
+
+            # Pad to a ring multiple when T doesn't divide: padded keys get
+            # -inf via the mask (exact), padded query rows are sliced off.
+            pad_len = (-seq) % int(ring.shape[self.ring_axis])
+            rq, rk, rv, rbias, rgate, rmask = q, k, v, position_bias, gate, key_padding_mask
+            if pad_len:
+                grow = ((0, 0), (0, 0), (0, pad_len), (0, 0))
+                rq, rk, rv = (jnp.pad(t, grow) for t in (q, k, v))
+                if rbias is not None:
+                    rbias = jnp.pad(rbias, ((0, 0), (0, 0), (0, pad_len), (0, pad_len)))
+                if rgate is not None:
+                    rgate = jnp.pad(rgate, ((0, 0), (0, 0), (0, pad_len), (0, 0)))
+                if rmask is None:
+                    rmask = jnp.zeros((bsz, seq), bool)
+                rmask = jnp.pad(rmask, ((0, 0), (0, pad_len)), constant_values=True)
+            out = ring_attention(
+                rq,
+                rk,
+                rv,
+                bias=rbias,
+                gate=rgate,
+                key_padding_mask=rmask,
+                scale=head_dim**-0.5,
+                mesh=ring,
+                axis=self.ring_axis,
+            )[:, :, :seq]
+            out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, self.embed_dim)
+            return dense("out_proj")(out)
 
         use_pallas = self.use_pallas
         if use_pallas is None:
@@ -240,6 +280,7 @@ class _EncoderLayer(nn.Module):
 
     cfg: BEATsConfig
     dtype: Any = jnp.float32
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -261,6 +302,7 @@ class _EncoderLayer(nn.Module):
             fast_attention=getattr(cfg, "fast_attention", None),
             fused_qkv=bool(getattr(cfg, "fused_qkv", False)),
             quantize=quantize,
+            ring_mesh=self.ring_mesh,
             dtype=self.dtype,
             name="self_attn",
         )
@@ -314,6 +356,8 @@ class _TransformerEncoder(nn.Module):
     # Optional pipeline-parallel runner for the scanned layer stack
     # (parallel/pipeline.make_pipeline_runner); None = run layers in-process.
     layer_runner: Optional[Callable] = None
+    # Ring-attention mesh (long-window inference; see _GatedRelPosAttention).
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -413,7 +457,7 @@ class _TransformerEncoder(nn.Module):
             # parent=None: a free-standing functional twin of the scanned
             # layer (constructing it inside this compact method would
             # auto-register it as a child and forbid .apply on it).
-            layer_module = _EncoderLayer(cfg=cfg, dtype=self.dtype, parent=None)
+            layer_module = _EncoderLayer(cfg=cfg, dtype=self.dtype, ring_mesh=self.ring_mesh, parent=None)
 
             def layer_fn(p, h, *extras):
                 mask = extras[0] if has_mask else None
@@ -462,7 +506,7 @@ class _TransformerEncoder(nn.Module):
                 length=cfg.encoder_layers,
             )
             x, fc2_stack = scanned(
-                layer_cls(cfg=cfg, dtype=self.dtype, name="layers"), x, None
+                layer_cls(cfg=cfg, dtype=self.dtype, ring_mesh=self.ring_mesh, name="layers"), x, None
             )
             for i in range(cfg.encoder_layers):
                 intermediates[f"encoder.layers.{i}.fc2"] = fc2_stack[i]
@@ -470,7 +514,7 @@ class _TransformerEncoder(nn.Module):
             for i in range(cfg.encoder_layers):
                 if cfg.layer_wise_gradient_decay_ratio != 1.0:
                     x = grad_multiply(x, cfg.layer_wise_gradient_decay_ratio)
-                layer = layer_cls(cfg=cfg, dtype=self.dtype, name=f"layers_{i}")
+                layer = layer_cls(cfg=cfg, dtype=self.dtype, ring_mesh=self.ring_mesh, name=f"layers_{i}")
                 new_x, fc2_out = layer(x, position_bias, padding_mask, deterministic)
                 if use_layerdrop:
                     # LayerDrop: keep the layer with prob (1 - layerdrop)
@@ -501,6 +545,7 @@ class BEATsBackbone(nn.Module):
     cfg: BEATsConfig
     dtype: Any = jnp.float32
     layer_runner: Optional[Callable] = None
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -570,7 +615,8 @@ class BEATsBackbone(nn.Module):
         x = nn.Dropout(cfg.dropout_input)(x, deterministic=deterministic)
 
         x, enc_inter = _TransformerEncoder(
-            cfg=cfg, dtype=self.dtype, layer_runner=self.layer_runner, name="encoder"
+            cfg=cfg, dtype=self.dtype, layer_runner=self.layer_runner,
+            ring_mesh=self.ring_mesh, name="encoder"
         )(
             x,
             padding_mask=padding_mask,
@@ -613,6 +659,7 @@ class BEATsModel(nn.Module):
     use_naturelm: bool = False
     dtype: Any = jnp.float32
     layer_runner: Optional[Callable] = None
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -626,7 +673,7 @@ class BEATsModel(nn.Module):
             x = jnp.clip(x, -1.0, 1.0)
         features, aux = BEATsBackbone(
             cfg=self.cfg, dtype=self.dtype, layer_runner=self.layer_runner,
-            name="backbone",
+            ring_mesh=self.ring_mesh, name="backbone",
         )(
             x,
             padding_mask=padding_mask,
@@ -980,6 +1027,25 @@ class Model(ModelBase):
             use_naturelm=self.use_naturelm,
             dtype=self.module.dtype,
             layer_runner=make_sequence_parallel_runner(mesh),
+        )
+        self._jit_cache.clear()
+
+    def enable_ring_attention(self, mesh, axis: str = "model") -> None:
+        """Rebuild the module with ring attention (ops/ring_attention.py):
+        the encoder's attention shards its sequence axis over ``mesh``'s
+        ``axis`` and K/V chunks rotate via ppermute, so windows whose
+        [B,H,T,T] score matrix (and gated bias) would not fit one device run
+        exactly — the long-window inference mode behind
+        ``embed --windowed`` (exceeds the reference's center-crop handling,
+        avex/models/perch.py:153-185). T pads to a ring multiple with
+        -inf-masked keys when it does not divide (exact)."""
+        self.module = BEATsModel(
+            cfg=self.cfg,
+            num_classes=self.num_classes,
+            use_naturelm=self.use_naturelm,
+            dtype=self.module.dtype,
+            layer_runner=self.module.layer_runner,
+            ring_mesh=mesh,
         )
         self._jit_cache.clear()
 

@@ -16,14 +16,14 @@ Weight conversion accepts timm/MAE-style naming (``patch_embed.proj``,
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
 from avex_tpu.models.base import ModelBase
-from avex_tpu.models.eat import _Block, sincos_2d_positions
+from avex_tpu.models.eat import _Block, apply_vit_blocks, sincos_2d_positions  # noqa: F401
 from avex_tpu.ops.fbank import KaldiFbank
 from avex_tpu.utils.tree import merge_converted_params
 
@@ -49,6 +49,12 @@ class BirdMAEModel(nn.Module):
     norm_std: float = 4.43
     num_classes: Optional[int] = None
     dtype: Any = jnp.float32
+    #: nn.scan-stacked block params — the layout pipeline/SP shard
+    #: (see models/eat.py apply_vit_blocks).
+    scan_layers: bool = False
+    layer_runner: Optional[Callable] = None
+    #: ring-attention mesh for long windows (see models/eat.py _Block).
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -84,11 +90,9 @@ class BirdMAEModel(nn.Module):
             [jnp.broadcast_to(cls.astype(self.dtype), (bsz, 1, self.dim)), tokens], axis=1
         )
 
-        intermediates: Dict[str, jnp.ndarray] = {}
-        for i in range(self.depth):
-            block = _Block(dim=self.dim, heads=self.heads, dtype=self.dtype, name=f"blocks_{i}")
-            tokens, proj_out = block(tokens, deterministic)
-            intermediates[f"model.blocks.{i}.attn.proj"] = proj_out
+        tokens, intermediates = apply_vit_blocks(
+            self, tokens, key_prefix="model.blocks.", deterministic=deterministic
+        )
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
 
         aux = {"intermediates": intermediates, "features": tokens, "pooled": tokens[:, 0]}
@@ -99,14 +103,16 @@ class BirdMAEModel(nn.Module):
 
 
 def convert_birdmae_state_dict(
-    state: Dict[str, np.ndarray], num_classes: Optional[int] = None
+    state: Dict[str, np.ndarray],
+    num_classes: Optional[int] = None,
+    scan_layers: bool = False,
 ) -> Dict[str, Any]:
     """timm/MAE-style ViT state dict → flax params."""
     from avex_tpu.models.eat import convert_eat_state_dict
 
     # The MAE naming is the same ViT block naming EAT uses; reuse its
     # converter (it also strips decoder/_ema keys).
-    return convert_eat_state_dict(state, num_classes=num_classes)
+    return convert_eat_state_dict(state, num_classes=num_classes, scan_layers=scan_layers)
 
 
 class Model(ModelBase):
@@ -121,6 +127,11 @@ class Model(ModelBase):
         model_id: str = "DBD-research-group/Bird-MAE-huge",
         return_features_only: bool = False,
         compute_dtype: str = "float32",
+        depth: Optional[int] = None,
+        dim: Optional[int] = None,
+        heads: Optional[int] = None,
+        target_length: int = 1024,
+        scan_layers: bool = False,
         seed: int = 0,
     ) -> None:
         super().__init__(device=device, audio_config=audio_config)
@@ -130,13 +141,22 @@ class Model(ModelBase):
         for key in MAE_VARIANTS:
             if key in model_id.lower():
                 variant = key
-        dim, depth, heads = MAE_VARIANTS[variant]
+        v_dim, v_depth, v_heads = MAE_VARIANTS[variant]
+        dim, depth, heads = dim or v_dim, depth or v_depth, heads or v_heads
         self.depth = depth
+        self.scan_layers = bool(scan_layers)
         self.num_classes = None if return_features_only else num_classes
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        self.module = BirdMAEModel(
-            dim=dim, depth=depth, heads=heads, num_classes=self.num_classes, dtype=dtype
+        self._module_kwargs = dict(
+            dim=dim,
+            depth=depth,
+            heads=heads,
+            target_length=target_length,
+            num_classes=self.num_classes,
+            dtype=dtype,
+            scan_layers=self.scan_layers,
         )
+        self.module = BirdMAEModel(**self._module_kwargs)
         dummy = jnp.zeros((1, 32000), jnp.float32)
         self.variables = self._init_variables(dummy, seed=seed)
 
@@ -147,8 +167,46 @@ class Model(ModelBase):
         if not self._layer_names:
             self._layer_names = [f"model.blocks.{i}.attn.proj" for i in range(self.depth)]
 
+    def _require_scan_layout(self, what: str) -> None:
+        if not self.scan_layers:
+            raise ValueError(
+                f"{what} needs the stacked (scan_layers=True) parameter "
+                "layout; construct the model with "
+                'init_config={"scan_layers": True}'
+            )
+
+    def enable_pipeline(self, mesh, num_microbatches: Optional[int] = None) -> None:
+        """GPipe pipeline over ``mesh``'s model axis (parallel/pipeline.py);
+        same contract as ``models/beats.py``/``models/eat.py``."""
+        from avex_tpu.parallel.pipeline import make_pipeline_runner
+
+        self._require_scan_layout("pipeline parallelism")
+        self.module = BirdMAEModel(
+            **{**self._module_kwargs,
+               "layer_runner": make_pipeline_runner(mesh, num_microbatches=num_microbatches)}
+        )
+        self._jit_cache.clear()
+
+    def enable_sequence_parallel(self, mesh) -> None:
+        """Megatron-SP over ``mesh``'s model axis (parallel/sequence.py)."""
+        from avex_tpu.parallel.sequence import make_sequence_parallel_runner
+
+        self._require_scan_layout("sequence parallelism")
+        self.module = BirdMAEModel(
+            **{**self._module_kwargs, "layer_runner": make_sequence_parallel_runner(mesh)}
+        )
+        self._jit_cache.clear()
+
+    def enable_ring_attention(self, mesh, axis: str = "model") -> None:
+        """Rebuild the module with ring attention over ``mesh``'s model axis
+        (ops/ring_attention.py) — long-window inference mode."""
+        self.module = BirdMAEModel(**{**self._module_kwargs, "ring_mesh": mesh})
+        self._jit_cache.clear()
+
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
         """Load a timm/MAE-style Bird-MAE state dict."""
-        converted = convert_birdmae_state_dict(state, num_classes=self.num_classes)
+        converted = convert_birdmae_state_dict(
+            state, num_classes=self.num_classes, scan_layers=self.scan_layers
+        )
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

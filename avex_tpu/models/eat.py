@@ -20,7 +20,7 @@ eat_hf.py:43-103).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Callable, Dict, Optional
 
 import flax.linen as nn
 import jax
@@ -32,7 +32,13 @@ from avex_tpu.ops.attention import dot_product_attention
 from avex_tpu.ops.fbank import KaldiFbank, eat_fbank
 from avex_tpu.utils.tree import merge_converted_params
 
-__all__ = ["EATModel", "Model", "convert_eat_state_dict", "sincos_2d_positions"]
+__all__ = [
+    "EATModel",
+    "Model",
+    "convert_eat_state_dict",
+    "sincos_2d_positions",
+    "apply_vit_blocks",
+]
 
 
 def sincos_2d_positions(embed_dim: int, grid_h: int, grid_w: int) -> np.ndarray:
@@ -63,6 +69,10 @@ class _Block(nn.Module):
     #: T=513 (64x8 patch grid + CLS), past the measured crossover where the
     #: VMEM-resident softmax chain beats XLA's schedule by ~1.3x.
     use_pallas: Optional[bool] = None
+    #: ring attention over this mesh's model axis (ops/ring_attention.py) —
+    #: long-window inference: the [B,H,T,T] score matrix never materializes.
+    #: T pads to a ring multiple with -inf-masked keys (exact).
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -73,10 +83,26 @@ class _Block(nn.Module):
         qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(h)
         qkv = qkv.reshape(bsz, seq, 3, self.heads, head_dim)
         q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        ring = self.ring_mesh
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = seq >= 384 and jax.default_backend() == "tpu"
-        if use_pallas:
+        if ring is not None:
+            from avex_tpu.ops.ring_attention import ring_attention
+
+            # The CLS token makes T = grid + 1, never a ring multiple — pad
+            # K/V/Q to one and mask the padded keys (exact: masked keys get
+            # -inf, padded query rows are sliced off).
+            pad_len = (-seq) % int(ring.shape["model"])
+            mask = None
+            if pad_len:
+                grow = ((0, 0), (0, 0), (0, pad_len), (0, 0))
+                q, k, v = (jnp.pad(t, grow) for t in (q, k, v))
+                mask = jnp.zeros((bsz, seq + pad_len), bool).at[:, seq:].set(True)
+            attn = ring_attention(
+                q, k, v, scale=head_dim**-0.5, mesh=ring, key_padding_mask=mask
+            )[:, :, :seq]
+        elif use_pallas:
             from avex_tpu.ops.pallas_attention import gated_bias_attention
 
             attn = gated_bias_attention(q, k, v, pos_bias=None, scale=head_dim**-0.5)
@@ -99,6 +125,73 @@ class _Block(nn.Module):
         return x, proj_out
 
 
+def apply_vit_blocks(
+    mod: nn.Module,
+    tokens: jnp.ndarray,
+    *,
+    key_prefix: str,
+    deterministic: bool = True,
+) -> tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Run a plain pre-norm ViT block stack in one of three layouts.
+
+    Shared by the EAT and Bird-MAE encoders (both are unadorned ``_Block``
+    stacks — no per-layer masks or biases, so the generic form is simpler
+    than BEATs'). ``mod`` supplies ``depth``/``dim``/``heads``/``dtype`` plus
+    two optional fields:
+
+    - ``scan_layers``: stack per-block params on a leading layer axis and run
+      the stack as one ``nn.scan`` (required for pipeline/SP — the stacked
+      layout is what stage-shards);
+    - ``layer_runner``: the generic parallelism hook (same contract as
+      ``models/beats.py``) — gets ``(layer_fn, stacked_params, x, batched,
+      shared)`` and owns the loop (``parallel/pipeline.py`` GPipe or
+      ``parallel/sequence.py`` Megatron-SP). Runner-driven stacks skip
+      per-block intermediates: only final activations cross stage boundaries.
+
+    Must be called from inside the parent module's ``@nn.compact`` ``__call__``
+    (child blocks register in the live module context).
+    """
+    depth, dim, heads, dtype = mod.depth, mod.dim, mod.heads, mod.dtype
+    scan = bool(getattr(mod, "scan_layers", False))
+    runner = getattr(mod, "layer_runner", None)
+    ring_mesh = getattr(mod, "ring_mesh", None)
+    intermediates: Dict[str, jnp.ndarray] = {}
+
+    if runner is not None and scan and not mod.is_initializing():
+        # parent=None: free-standing functional twin of the scanned block
+        # (constructing it inside the compact method would auto-register it
+        # as a child and forbid .apply on it).
+        block = _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh, parent=None)
+
+        def layer_fn(p, h):
+            new_h, _proj = block.apply({"params": p}, h, True)
+            return new_h
+
+        stacked = mod.get_variable("params", "blocks")
+        tokens = runner(layer_fn, stacked, tokens, (), ())
+    elif scan:
+        def body(block, carry, _xs):
+            return block(carry, deterministic)
+
+        scanned = nn.scan(
+            body,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=depth,
+        )
+        tokens, proj_stack = scanned(
+            _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh, name="blocks"), tokens, None
+        )
+        for i in range(depth):
+            intermediates[f"{key_prefix}{i}.attn.proj"] = proj_stack[i]
+    else:
+        for i in range(depth):
+            block = _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh, name=f"blocks_{i}")
+            tokens, proj_out = block(tokens, deterministic)
+            intermediates[f"{key_prefix}{i}.attn.proj"] = proj_out
+    return tokens, intermediates
+
+
 class EATModel(nn.Module):
     """EAT backbone + optional classifier, ``(output, aux)`` contract.
 
@@ -116,6 +209,13 @@ class EATModel(nn.Module):
     patch_size: int = 16
     pooling: str = "cls"
     dtype: Any = jnp.float32
+    #: nn.scan-stacked block params (leading layer axis) — the layout
+    #: pipeline/sequence parallelism shard.
+    scan_layers: bool = False
+    #: optional layer-stack runner (parallel/pipeline.py, parallel/sequence.py).
+    layer_runner: Optional[Callable] = None
+    #: ring-attention mesh for long windows (see _Block.ring_mesh).
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -160,11 +260,12 @@ class EATModel(nn.Module):
             [jnp.broadcast_to(cls.astype(self.dtype), (bsz, 1, self.dim)), tokens], axis=1
         )
 
-        intermediates: Dict[str, jnp.ndarray] = {}
-        for i in range(self.depth):
-            block = _Block(dim=self.dim, heads=self.heads, dtype=self.dtype, name=f"blocks_{i}")
-            tokens, proj_out = block(tokens, deterministic)
-            intermediates[f"backbone.model.blocks.{i}.attn.proj"] = proj_out
+        tokens, intermediates = apply_vit_blocks(
+            self,
+            tokens,
+            key_prefix="backbone.model.blocks.",
+            deterministic=deterministic,
+        )
 
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tokens)
         aux = {"intermediates": intermediates, "features": tokens}
@@ -177,14 +278,18 @@ class EATModel(nn.Module):
 
 
 def convert_eat_state_dict(
-    state: Dict[str, np.ndarray], num_classes: Optional[int] = None
+    state: Dict[str, np.ndarray],
+    num_classes: Optional[int] = None,
+    scan_layers: bool = False,
 ) -> Dict[str, Any]:
     """ESP-wrapper / fairseq EAT state dict → flax variables.
 
     Key normalization mirrors the reference's fairseq→HF remapping
     (eat_hf.py:53-75): ``modality_encoders.IMAGE.context_encoder.norm`` →
     ``pre_norm``, the IMAGE modality prefix and bare keys both root at
-    ``model.``; wrapper exports arrive as ``backbone.model.*``.
+    ``model.``; wrapper exports arrive as ``backbone.model.*``. With
+    ``scan_layers``, per-block tensors stack on a leading layer axis to
+    match the ``nn.scan`` block layout (``apply_vit_blocks``).
     """
     normalized: Dict[str, np.ndarray] = {}
     for key, value in state.items():
@@ -239,7 +344,26 @@ def convert_eat_state_dict(
         elif key.startswith("classifier.") and num_classes is not None:
             which = "kernel" if key.endswith("weight") else "bias"
             put(("classifier", which), value.T if which == "kernel" else value)
+
+    if scan_layers:
+        params = stack_block_params(params)
     return {"params": params}
+
+
+def stack_block_params(params: Dict[str, Any], marker: str = "blocks") -> Dict[str, Any]:
+    """Restack ``{marker}_{i}`` subtrees into one ``{marker}`` tree with a
+    leading layer axis (the ``nn.scan`` layout pipeline/SP shard)."""
+    block_keys = sorted(
+        (k for k in params if k.startswith(f"{marker}_")),
+        key=lambda name: int(name.rsplit("_", 1)[1]),
+    )
+    if block_keys:
+        params = dict(params)
+        subtrees = [params.pop(k) for k in block_keys]
+        params[marker] = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *subtrees
+        )
+    return params
 
 
 class Model(ModelBase):
@@ -257,20 +381,30 @@ class Model(ModelBase):
         pooling: str = "cls",
         return_features_only: bool = False,
         compute_dtype: str = "float32",
+        depth: int = 12,
+        dim: int = 768,
+        heads: int = 12,
+        scan_layers: bool = False,
         seed: int = 0,
     ) -> None:
         super().__init__(device=device, audio_config=audio_config)
         self.num_classes = None if return_features_only else num_classes
-        self.depth = 12
+        self.depth = depth
+        self.scan_layers = bool(scan_layers)
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        self.module = EATModel(
+        self._module_kwargs = dict(
             num_classes=self.num_classes,
             target_length=target_length,
             norm_mean=eat_norm_mean,
             norm_std=eat_norm_std,
             pooling=pooling,
+            depth=depth,
+            dim=dim,
+            heads=heads,
             dtype=dtype,
+            scan_layers=self.scan_layers,
         )
+        self.module = EATModel(**self._module_kwargs)
         # Init on a short clip: param shapes are length-independent (fixed
         # sincos positions are computed per grid at trace time).
         dummy = jnp.zeros((1, 16000), jnp.float32)
@@ -285,8 +419,51 @@ class Model(ModelBase):
                 f"backbone.model.blocks.{i}.attn.proj" for i in range(self.depth)
             ]
 
+    def _require_scan_layout(self, what: str) -> None:
+        if not self.scan_layers:
+            raise ValueError(
+                f"{what} needs the stacked (scan_layers=True) parameter "
+                "layout; construct the model with "
+                'init_config={"scan_layers": True}'
+            )
+
+    def enable_pipeline(self, mesh, num_microbatches: Optional[int] = None) -> None:
+        """Rebuild the module to run the block stack pipeline-parallel over
+        ``mesh``'s model axis (GPipe — parallel/pipeline.py). Requires the
+        nn.scan layout (``scan_layers=True``); same contract as
+        ``models/beats.py`` ``enable_pipeline``."""
+        from avex_tpu.parallel.pipeline import make_pipeline_runner
+
+        self._require_scan_layout("pipeline parallelism")
+        self.module = EATModel(
+            **{**self._module_kwargs,
+               "layer_runner": make_pipeline_runner(mesh, num_microbatches=num_microbatches)}
+        )
+        self._jit_cache.clear()
+
+    def enable_sequence_parallel(self, mesh) -> None:
+        """Rebuild the module with Megatron-SP sequence parallelism
+        (parallel/sequence.py): block activations re-shard ``[B, T(model), E]``
+        at every block boundary. Requires ``scan_layers=True``."""
+        from avex_tpu.parallel.sequence import make_sequence_parallel_runner
+
+        self._require_scan_layout("sequence parallelism")
+        self.module = EATModel(
+            **{**self._module_kwargs, "layer_runner": make_sequence_parallel_runner(mesh)}
+        )
+        self._jit_cache.clear()
+
+    def enable_ring_attention(self, mesh, axis: str = "model") -> None:
+        """Rebuild the module with ring attention over ``mesh``'s model axis
+        (ops/ring_attention.py) — long-window inference mode; see
+        ``models/beats.py`` ``enable_ring_attention``."""
+        self.module = EATModel(**{**self._module_kwargs, "ring_mesh": mesh})
+        self._jit_cache.clear()
+
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
         """Load an EAT checkpoint (fairseq or HF naming, remapped)."""
-        converted = convert_eat_state_dict(state, num_classes=self.num_classes)
+        converted = convert_eat_state_dict(
+            state, num_classes=self.num_classes, scan_layers=self.scan_layers
+        )
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

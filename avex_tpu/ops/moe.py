@@ -17,6 +17,16 @@ so the whole layer jits cleanly and shards by construction: expert parameters
 first, and ``expert_axis``/``mesh`` pin it to a mesh axis — **expert
 parallelism**: each device holds and computes ``X / |axis|`` experts.
 
+**Scale envelope (dense dispatch).** The one-hot dispatch/combine tensors are
+``[k·N, X, C]`` with ``C ≈ k·N·capacity_factor / X`` — total memory
+``O(k² · capacity_factor · N²)`` elements, *independent of X*. At probe scale
+(N ≤ a few thousand tokens) that is megabytes; at encoder scale
+(N = B·T ≈ 10⁵) it is tens of GB and dense dispatch is the wrong tool
+(sorted/ragged dispatch or per-chunk routing would be next). ``MoEMLP``
+refuses to trace past ``max_dispatch_elements`` (default 2²⁸ ≈ 1 GB fp32)
+instead of silently OOMing — raise the cap explicitly or chunk the tokens if
+you really mean it (pinned by ``tests/unittests/test_moe.py``).
+
 This is a capability extension over the torch reference (which has no MoE
 anywhere); it exists to complete the dp/tp/pp/sp/ep parallelism matrix with a
 real routed-compute workload, and surfaces as the ``moe`` probe head
@@ -103,6 +113,9 @@ class MoEMLP(nn.Module):
     #: mesh + axis name pin expert-major tensors for expert parallelism.
     mesh: Any = None
     expert_axis: Optional[str] = "model"
+    #: trace-time guard on the dense [k·N, X, C] dispatch tensors (see module
+    #: docstring): O(k²·capacity_factor·N²) elements. 2**28 ≈ 1 GB fp32.
+    max_dispatch_elements: int = 2**28
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -113,6 +126,20 @@ class MoEMLP(nn.Module):
         n_exp, k = self.num_experts, self.k
         if not 1 <= k <= n_exp:
             raise ValueError(f"k={k} must be in [1, num_experts={n_exp}]")
+        est_capacity = max(
+            1, min(int(np.ceil(k * n_tokens / n_exp * self.capacity_factor)), n_tokens)
+        )
+        dispatch_elements = k * n_tokens * n_exp * est_capacity
+        if dispatch_elements > self.max_dispatch_elements:
+            raise ValueError(
+                f"MoEMLP dense dispatch would materialize {dispatch_elements:,} "
+                f"elements ({dispatch_elements * 4 / 2**30:.1f} GB fp32) for "
+                f"N={n_tokens} tokens x {n_exp} experts x capacity "
+                f"{est_capacity} — past max_dispatch_elements="
+                f"{self.max_dispatch_elements:,}. Dense one-hot dispatch is "
+                "O(k^2 * capacity_factor * N^2); chunk the tokens or raise the "
+                "cap explicitly if this size is intended."
+            )
 
         # Router (fp32: routing decisions should not depend on compute dtype).
         logits = nn.Dense(n_exp, dtype=jnp.float32, name="router")(

@@ -51,6 +51,8 @@ def ring_attention(
     mesh: Mesh,
     axis: str = "model",
     data_axis: Optional[str] = "data",
+    gate: Optional[jnp.ndarray] = None,
+    key_padding_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Exact SDPA with the sequence axis sharded over ``axis``.
 
@@ -58,18 +60,27 @@ def ring_attention(
       q, k, v: ``[B, H, T, D]``. ``T`` must divide by the ring size
         ``mesh.shape[axis]``; the batch shards over ``data_axis`` when that
         axis is in the mesh.
-      bias: optional additive bias ``[B|1, H|1, T, T]`` (gated relative
-        position bias, ``-inf`` key padding, etc. — same semantics as
-        ``dot_product_attention``). Its query axis shards with ``q``; its key
-        axis stays whole per device and is sliced per ring step (per-device
-        bias memory is ``T/S × T``).
+      bias: optional additive bias ``[B|1, H|1, T, T]`` (relative position
+        bias, etc. — same semantics as ``dot_product_attention``). Its query
+        axis shards with ``q``; its key axis stays whole per device and is
+        sliced per ring step (per-device bias memory is ``T/S × T``).
       scale: logit scale; default ``1/sqrt(D)``.
+      gate: optional multiplicative per-query gate ``[B, H, T, 1]`` applied
+        to ``bias`` (BEATs' GRU-gated relative position bias,
+        backbone.py:543-551). Computing ``gate * bias`` INSIDE the ring is
+        the memory point: the gated bias is ``[B, H, T, T]`` if materialized
+        up front, but only ``[B, H, T/S, T/S]`` per step here. Shards with
+        ``q``.
+      key_padding_mask: optional boolean ``[B, T]`` (True = padded key).
+        Applied as ``-inf`` per ring step — never expanded to ``[B, .., T, T]``.
 
     Returns ``[B, H, T, D]`` in ``v``'s dtype, equal to
-    ``dot_product_attention(q, k, v, bias)`` to fp32 roundoff.
+    ``dot_product_attention(q, k, v, gate * bias + pad)`` to fp32 roundoff.
     """
     if q.ndim != 4:
         raise ValueError(f"ring_attention expects [B, H, T, D] inputs, got {q.shape}")
+    if gate is not None and bias is None:
+        raise ValueError("ring_attention: gate without bias has nothing to gate")
     ring = int(mesh.shape[axis])
     seq = int(q.shape[2])
     if seq % ring:
@@ -78,7 +89,13 @@ def ring_attention(
     if ring == 1:
         from avex_tpu.ops.attention import dot_product_attention
 
-        return dot_product_attention(q, k, v, bias=bias, scale=scale)
+        full_bias = bias
+        if gate is not None:
+            full_bias = gate * bias
+        if key_padding_mask is not None:
+            pad = jnp.where(key_padding_mask[:, None, None, :], -jnp.inf, 0.0)
+            full_bias = pad if full_bias is None else full_bias + pad
+        return dot_product_attention(q, k, v, bias=full_bias, scale=scale)
 
     data = data_axis if (data_axis is not None and data_axis in mesh.axis_names) else None
     qkv_spec = P(data, None, axis, None)
@@ -95,8 +112,12 @@ def ring_attention(
             axis,
             None,  # key axis whole: sliced per ring step
         )
+    gate_spec = P(data, None, axis, None) if gate is not None else None
+    # Key positions rotate around the ring, so the mask stays whole per
+    # device ([B, T] — tiny) and columns are sliced per step like the bias.
+    mask_spec = P(data, None) if key_padding_mask is not None else None
 
-    def body(q_l, k_l, v_l, bias_l):
+    def body(q_l, k_l, v_l, bias_l, gate_l, mask_l):
         me = lax.axis_index(axis)
         chunk = k_l.shape[2]
         m0 = _vary(jnp.full(q_l.shape[:3], -1e30, jnp.float32), mesh)
@@ -116,7 +137,13 @@ def ring_attention(
             ) * jnp.float32(scale)
             if bias_l is not None:
                 b = lax.dynamic_slice_in_dim(bias_l, src * chunk, chunk, axis=3)
-                logits = logits + b.astype(jnp.float32)
+                b = b.astype(jnp.float32)
+                if gate_l is not None:
+                    b = gate_l.astype(jnp.float32) * b
+                logits = logits + b
+            if mask_l is not None:
+                mask_c = lax.dynamic_slice_in_dim(mask_l, src * chunk, chunk, axis=1)
+                logits = jnp.where(mask_c[:, None, None, :], -jnp.inf, logits)
             m_new = jnp.maximum(m, logits.max(axis=-1))
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(logits - m_new[..., None])
@@ -130,23 +157,29 @@ def ring_attention(
         (m, l, acc, _k, _v), _ = lax.scan(
             step, (m0, l0, acc0, k_l, v_l), jnp.arange(ring)
         )
-        return (acc / l[..., None]).astype(v_l.dtype)
+        # Fully-masked query rows (l == 0) divide 0/0; emit 0 like the
+        # reference's masked positions.
+        safe_l = jnp.maximum(l, jnp.finfo(jnp.float32).tiny)
+        return (acc / safe_l[..., None]).astype(v_l.dtype)
 
-    if bias is None:
+    operands = [q, k, v]
+    in_specs = [qkv_spec, qkv_spec, qkv_spec]
+    optional = [(bias, bias_spec), (gate, gate_spec), (key_padding_mask, mask_spec)]
+    present = [op is not None for op, _ in optional]
+    for op, spec in optional:
+        if op is not None:
+            operands.append(op)
+            in_specs.append(spec)
 
-        def body_nobias(q_l, k_l, v_l):
-            return body(q_l, k_l, v_l, None)
-
-        return jax.shard_map(
-            body_nobias,
-            mesh=mesh,
-            in_specs=(qkv_spec, qkv_spec, qkv_spec),
-            out_specs=qkv_spec,
-        )(q, k, v)
+    def wrapper(*args):
+        q_l, k_l, v_l, *rest = args
+        rest = iter(rest)
+        opts = [next(rest) if there else None for there in present]
+        return body(q_l, k_l, v_l, *opts)
 
     return jax.shard_map(
-        body,
+        wrapper,
         mesh=mesh,
-        in_specs=(qkv_spec, qkv_spec, qkv_spec, bias_spec),
+        in_specs=tuple(in_specs),
         out_specs=qkv_spec,
-    )(q, k, v, bias)
+    )(*operands)

@@ -254,11 +254,20 @@ def shard_pipeline_params(
     params: Any,
     mesh: Mesh,
     axis: str = "model",
-    marker: str = "layers",
+    marker: Any = ("layers", "blocks"),
+    tp_axis: Optional[str] = None,
 ) -> Any:
     """Place a parameter tree for pipeline parallelism: every leaf living
-    under a ``marker`` key (the ``nn.scan`` layer stack) shards its leading
-    (layer) axis over ``axis``; everything else replicates.
+    under a ``marker`` key (the ``nn.scan`` layer stack — ``layers`` for the
+    BEATs encoder, ``blocks`` for the EAT/Bird-MAE ViT stacks; pass a string
+    or tuple to override) shards its leading (layer) axis over ``axis``;
+    everything else replicates.
+
+    ``tp_axis`` is the documented 3D (dp×pp×tp) recipe as a library entry
+    point: stacked kernels additionally shard their LAST (output-feature)
+    dim over that mesh axis when divisible, which tensor-parallels the
+    per-stage matmuls under GSPMD (``pipeline_apply`` keeps every non-stage
+    mesh axis automatic, so XLA inserts the matching collectives).
 
     The placement matches ``pipeline_apply``'s ``in_specs``, so the stacked
     weights are already distributed one stage per device and shard_map moves
@@ -266,13 +275,17 @@ def shard_pipeline_params(
     """
     from jax.sharding import NamedSharding
 
+    markers = (marker,) if isinstance(marker, str) else tuple(marker)
     stages = int(mesh.shape[axis])
+    tp = int(mesh.shape[tp_axis]) if tp_axis is not None else 1
 
     def place(path, leaf):
         names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
-        if marker in names and np.ndim(leaf) >= 1 and leaf.shape[0] % stages == 0:
-            spec = P(axis, *([None] * (np.ndim(leaf) - 1)))
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
+        if any(m in names for m in markers) and np.ndim(leaf) >= 1 and leaf.shape[0] % stages == 0:
+            spec = [axis] + [None] * (np.ndim(leaf) - 1)
+            if tp_axis is not None and np.ndim(leaf) >= 2 and leaf.shape[-1] % tp == 0:
+                spec[-1] = tp_axis
+            return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(place, params)

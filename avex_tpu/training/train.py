@@ -205,7 +205,18 @@ class Trainer:
     # ------------------------------------------------------------------
 
     def _make_apply_fn(self) -> Callable:
+        import inspect
+
         module = self.model.module
+        # Strategies pass the superset of per-model knobs (deterministic,
+        # disable_layerdrop, train); filter against the module's signature so
+        # every architecture trains through the same step — the factory's
+        # signature-filtering idiom (models/factory.py). 'mutable' is an
+        # apply()-level kwarg, always forwarded.
+        accepted = set(inspect.signature(type(module).__call__).parameters)
+
+        def _filter(kwargs):
+            return {k: v for k, v in kwargs.items() if k in accepted or k == "mutable"}
 
         if self.mode == "clip":
             process_audio = self.model.process_audio
@@ -214,7 +225,9 @@ class Trainer:
                 # Frontend (STFT→mel→3-channel) traces into the same jitted
                 # step as both towers.
                 spec = process_audio(wav)
-                return module.apply(variables, spec, text_tokens, padding_mask, rngs=rngs, **kwargs)
+                return module.apply(
+                    variables, spec, text_tokens, padding_mask, rngs=rngs, **_filter(kwargs)
+                )
 
             return apply_fn
 
@@ -224,7 +237,7 @@ class Trainer:
         process_audio = self.model.process_audio
 
         def apply_fn(variables, wav, *args, rngs=None, **kwargs):
-            return module.apply(variables, process_audio(wav), *args, rngs=rngs, **kwargs)
+            return module.apply(variables, process_audio(wav), *args, rngs=rngs, **_filter(kwargs))
 
         return apply_fn
 

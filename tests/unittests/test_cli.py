@@ -171,6 +171,53 @@ def test_embed_command_windowed(tmp_path):
     assert all(row["path"].endswith("long.wav") for row in manifest)
 
 
+@pytest.mark.slow  # two full-size BEATs embeds (~60 s)
+def test_embed_command_windowed_ring_attention(tmp_path):
+    """--ring-attention on: the user command exercises ring attention
+    end-to-end on the virtual mesh (round-4 verdict task #4) — every
+    window's attention sequence shards over all 8 devices, and the
+    embeddings match the in-device run (same seeded random weights)."""
+    import numpy as np
+    from scipy.io import wavfile
+
+    audio_dir = tmp_path / "clips"
+    audio_dir.mkdir()
+    rng = np.random.default_rng(0)
+    wav = (rng.standard_normal(40000) * 0.1 * 32767).astype(np.int16)
+    wavfile.write(audio_dir / "long.wav", 16000, wav)
+
+    def run(out, ring):
+        result = CliRunner().invoke(
+            cli,
+            [
+                "embed",
+                "-m", "esp_aves2_sl_beats_all",
+                "-i", str(audio_dir),
+                "-o", str(out),
+                "--random-weights",
+                "--clip-seconds", "1",
+                "--windowed",
+                "--batch-size", "4",
+                "--ring-attention", ring,
+            ],
+            catch_exceptions=False,
+        )
+        assert result.exit_code == 0, result.output
+        return result.output
+
+    out_ring = tmp_path / "ring.h5"
+    output = run(out_ring, "on")
+    assert "ring attention: sequence sharded over 8 devices" in output
+    out_plain = tmp_path / "plain.h5"
+    run(out_plain, "off")
+
+    from avex_tpu.evaluation import load_cached_embeddings
+
+    ring_embs, _l1, _m1 = load_cached_embeddings(out_ring)
+    plain_embs, _l2, _m2 = load_cached_embeddings(out_plain)
+    np.testing.assert_allclose(ring_embs[0], plain_embs[0], rtol=1e-4, atol=1e-5)
+
+
 def test_sweep_runner_dry_run(tmp_path):
     """scripts/run_sweep.py expands the grid into per-combination CLI patches."""
     import subprocess

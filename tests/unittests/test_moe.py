@@ -149,3 +149,25 @@ def test_moe_probe_head_trains_through_finetune_trainer(rng):
     )
     loss_solo, _ = run(make_mesh(data=1, model=1, devices=jax.devices()[:1]))
     np.testing.assert_allclose(loss_ep, loss_solo, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_dispatch_envelope_guard(tokens):
+    """The dense [k·N, X, C] dispatch is O(k²·cf·N²) memory; MoEMLP refuses
+    to trace past max_dispatch_elements instead of silently OOMing (round-4
+    verdict task #5). Probe-scale workloads sit far inside the default cap."""
+    # Tiny cap binds immediately, with an actionable message.
+    mod = MoEMLP(num_experts=X, hidden_dim=H, out_dim=O, max_dispatch_elements=8)
+    with pytest.raises(ValueError, match="max_dispatch_elements"):
+        mod.init(jax.random.PRNGKey(0), tokens)
+
+    # The default cap does NOT bind at probe scale (N=4096, X=8, k=2, cf=2
+    # -> ~134M elements, half the 2**28 default) — checked without tracing.
+    n, x_, k, cf = 4096, 8, 2, 2.0
+    cap = max(1, min(int(np.ceil(k * n / x_ * cf)), n))
+    assert k * n * x_ * cap < MoEMLP.max_dispatch_elements
+
+    # Encoder scale (N = B*T = 128*500) DOES bind: the guard is the
+    # documented envelope, not a no-op.
+    n = 128 * 500
+    cap = max(1, min(int(np.ceil(k * n / x_ * cf)), n))
+    assert k * n * x_ * cap > MoEMLP.max_dispatch_elements
