@@ -5,6 +5,24 @@ Counterpart of ``avex/training/checkpoint_manager.py:37-263``: saves
 naming scheme (``best_model`` / ``checkpoint_epoch_N`` / ``final_model``),
 process-0 only on multi-host (orbax coordinates the rest). Local or
 cloud directories via the io layer for metadata.
+
+**Cross-topology restore.** Orbax warns that restoring with shard info taken
+from disk "is unsafe when restoring on a different topology". That mode is
+never used here — checkpoints are topology-free by construction:
+
+1. the Trainer saves **host-gathered** arrays (``jax.device_get`` in
+   ``Trainer._save_kwargs``), so nothing about the saving mesh is persisted;
+2. :meth:`load` restores through an abstract template whose
+   ``ShapeDtypeStruct``s carry **no sharding**, so orbax materializes plain
+   host/default-device values;
+3. ``Trainer._place_params`` / ``_resume`` then re-place for whatever mesh
+   the resuming run configured (replicated, FSDP, or pipeline stage-sharded).
+
+A checkpoint written under FSDP on 8 devices therefore restores onto 4
+devices, a different stage count, or a single chip unchanged — pinned by
+``tests/unittests/test_sharded_checkpoint_lifecycle.py``. The cost is one
+full-size host materialization per save/restore (fine at single-controller
+scale; multi-host giant models would switch to orbax sharded save).
 """
 
 from __future__ import annotations

@@ -119,6 +119,11 @@ def measure(tag: str, source, batch: int, overrides=None, iters: int = 8) -> Non
     except Exception as err:
         print(f"# {tag}: cost analysis failed: {err}", file=sys.stderr)
 
+    analytic_fix = 0.0
+    if flops is not None:
+        analytic_fix = _analytic_pallas_attention_flops(model, batch)
+        flops += analytic_fix
+
     float(compiled(variables, stacked))  # warmup (compile transfer + run)
     best = float("inf")
     for _ in range(3):
@@ -139,7 +144,33 @@ def measure(tag: str, source, batch: int, overrides=None, iters: int = 8) -> Non
         peak = float(os.environ.get("AVEX_TPU_PEAK_TFLOPS", "197")) * 1e12
         out["tflops_per_sec"] = round(flops * iters / best / 1e12, 1)
         out["mfu_pct"] = round(100 * flops * iters / best / peak, 1)
+        if analytic_fix:
+            out["attention_flops_analytic"] = round(analytic_fix / 1e9, 2)  # GFLOPs
     print(json.dumps(out), flush=True)
+
+
+def _analytic_pallas_attention_flops(model, batch: int) -> float:
+    """Attention-core FLOPs XLA's cost model misses when the model's blocks
+    run the Pallas kernel (pallas_call counts as 0 FLOPs — round-4 zoo rows
+    for EAT/Bird-MAE had empty MFU cells for exactly this reason).
+
+    The analytic core is QK^T + PV = ``4·B·T²·E`` per block (projections are
+    plain gemms XLA still counts). Only the ViT stacks (EAT/Bird-MAE) auto-
+    enable Pallas at T >= 384; everything else returns 0.
+    """
+    import jax
+
+    mod = getattr(model, "module", None)
+    if (
+        mod is None
+        or not all(hasattr(mod, a) for a in ("depth", "dim", "target_length"))
+        or jax.default_backend() != "tpu"
+    ):
+        return 0.0
+    t = (int(mod.target_length) // 16) * (128 // 16) + 1  # grid + CLS
+    if t < 384:
+        return 0.0  # XLA attention path: already counted
+    return 4.0 * batch * t * t * int(mod.dim) * int(mod.depth)
 
 
 def main() -> None:
