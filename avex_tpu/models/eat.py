@@ -80,40 +80,47 @@ class _Block(nn.Module):
         head_dim = dim // self.heads
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        qkv = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(h)
-        qkv = qkv.reshape(bsz, seq, 3, self.heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        qkv_raw = nn.Dense(3 * dim, dtype=self.dtype, name="qkv")(h)
         ring = self.ring_mesh
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = seq >= 384 and jax.default_backend() == "tpu"
-        if ring is not None:
-            from avex_tpu.ops.ring_attention import ring_attention
+        if ring is None and use_pallas:
+            # Widened kernel boundary: the split/transpose and head-merge
+            # live INSIDE the Pallas call as BlockSpec views, so XLA sees
+            # gemm -> pallas -> gemm with no HBM-materialized relayouts
+            # (the round-4 1.33x-isolated -> +3%-in-model dilution was
+            # exactly those relayouts; see ops/pallas_attention.py).
+            from avex_tpu.ops.pallas_attention import fused_qkv_attention
 
-            # The CLS token makes T = grid + 1, never a ring multiple — pad
-            # K/V/Q to one and mask the padded keys (exact: masked keys get
-            # -inf, padded query rows are sliced off).
-            pad_len = (-seq) % int(ring.shape["model"])
-            mask = None
-            if pad_len:
-                grow = ((0, 0), (0, 0), (0, pad_len), (0, 0))
-                q, k, v = (jnp.pad(t, grow) for t in (q, k, v))
-                mask = jnp.zeros((bsz, seq + pad_len), bool).at[:, seq:].set(True)
-            attn = ring_attention(
-                q, k, v, scale=head_dim**-0.5, mesh=ring, key_padding_mask=mask
-            )[:, :, :seq]
-        elif use_pallas:
-            from avex_tpu.ops.pallas_attention import gated_bias_attention
-
-            attn = gated_bias_attention(q, k, v, pos_bias=None, scale=head_dim**-0.5)
+            attn = fused_qkv_attention(qkv_raw, heads=self.heads, scale=head_dim**-0.5)
         else:
-            # bf16 compute runs the softmax chain in bf16 too (the [B,H,T,T]
-            # stream dominates HBM traffic; fp32 keeps the parity softmax).
-            attn = dot_product_attention(
-                q, k, v, scale=head_dim**-0.5,
-                logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
-            )
-        attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
+            qkv = qkv_raw.reshape(bsz, seq, 3, self.heads, head_dim)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            if ring is not None:
+                from avex_tpu.ops.ring_attention import ring_attention
+
+                # The CLS token makes T = grid + 1, never a ring multiple —
+                # pad K/V/Q to one and mask the padded keys (exact: masked
+                # keys get -inf, padded query rows are sliced off).
+                pad_len = (-seq) % int(ring.shape["model"])
+                mask = None
+                if pad_len:
+                    grow = ((0, 0), (0, 0), (0, pad_len), (0, 0))
+                    q, k, v = (jnp.pad(t, grow) for t in (q, k, v))
+                    mask = jnp.zeros((bsz, seq + pad_len), bool).at[:, seq:].set(True)
+                attn = ring_attention(
+                    q, k, v, scale=head_dim**-0.5, mesh=ring, key_padding_mask=mask
+                )[:, :, :seq]
+            else:
+                # bf16 compute runs the softmax chain in bf16 too (the
+                # [B,H,T,T] stream dominates HBM traffic; fp32 keeps the
+                # parity softmax).
+                attn = dot_product_attention(
+                    q, k, v, scale=head_dim**-0.5,
+                    logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
+                )
+            attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
         proj_out = nn.Dense(dim, dtype=self.dtype, name="proj")(attn)
         x = x + proj_out
 

@@ -85,7 +85,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gated_bias_attention"]
+__all__ = ["gated_bias_attention", "fused_qkv_attention"]
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref, *, scale):
@@ -304,6 +304,153 @@ def _bwd(scale, _interpret, _block_b, residuals, g):
 
 
 _gated_bias_attention.defvjp(_fwd, _bwd)
+
+
+def _fused_qkv_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, pad_ref, out_ref, *, scale):
+    """Bias-free cell over the RAW fused-QKV gemm output.
+
+    The round-4 finding: the isolated 1.33x of the bias-free kernel diluted
+    to +3% in-model because XLA fuses the ``[B,T,3E] -> 3x[B,H,T,dh]``
+    split/transpose (and the output merge) into its attention chain, while
+    the ``pallas_call`` boundary forces them to materialize in HBM. This
+    cell widens the boundary: the inputs are three BlockSpec VIEWS of the
+    same ``[B, T, 3E]`` tensor (per-head column slices at offsets ``h·dh``,
+    ``E + h·dh``, ``2E + h·dh``) and the output block writes the ``[T, dh]``
+    head slice of a ``[B, T, E]`` result directly — the split, the four
+    transposes, and the merge all become free VMEM addressing.
+    """
+    nb = qkv_q_ref.shape[0]
+    for i in range(nb):  # static unroll
+        q = qkv_q_ref[i]  # [T, dh] head slice, compute dtype
+        k = qkv_k_ref[i]
+        v = qkv_v_ref[i]
+        logits = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        logits = logits * scale
+        logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over keys
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out_ref[i] = jax.lax.dot_general(
+            weights,
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(out_ref.dtype)
+
+
+def _fused_qkv_reference(qkv, heads, key_padding_mask, scale):
+    """jnp twin of the fused-QKV cell (used for the custom backward)."""
+    bsz, seq, three_e = qkv.shape
+    dim = three_e // 3
+    head_dim = dim // heads
+    parts = qkv.reshape(bsz, seq, 3, heads, head_dim)
+    q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    out = _attention_reference(q, k, v, None, None, key_padding_mask, scale)
+    return out.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
+
+
+def _fused_qkv_forward(qkv, heads, key_padding_mask, scale, interpret, block_b):
+    bsz, seq, three_e = qkv.shape
+    dim = three_e // 3
+    head_dim = dim // heads
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    while bsz % block_b:
+        block_b //= 2
+    nb = max(block_b, 1)
+
+    if key_padding_mask is not None:
+        pad_bias = jnp.where(key_padding_mask, -jnp.inf, 0.0).astype(jnp.float32)[:, None, :]
+    else:
+        pad_bias = jnp.zeros((bsz, 1, seq), jnp.float32)
+
+    grid = (heads, bsz // nb)
+    compiler_params = None
+    if seq > 512:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+    # Three views of ONE array: block index h on the last axis selects the
+    # h-th head-dim column slice; q/k/v differ only by a `heads` offset.
+    def _slice_spec(part):
+        return pl.BlockSpec(
+            (nb, seq, head_dim),
+            lambda h, b, part=part: (b, 0, part * heads + h),
+            memory_space=pltpu.VMEM,
+        )
+
+    pad_spec = pl.BlockSpec((nb, 1, seq), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fused_qkv_kernel, scale=scale),
+        grid=grid,
+        in_specs=[_slice_spec(0), _slice_spec(1), _slice_spec(2), pad_spec],
+        out_specs=pl.BlockSpec(
+            (nb, seq, head_dim), lambda h, b: (b, 0, h), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, dim), qkv.dtype),
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(qkv, qkv, qkv, pad_bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
+def _fused_qkv_attention(qkv, heads, key_padding_mask, scale, interpret, block_b):
+    return _fused_qkv_forward(qkv, heads, key_padding_mask, scale, interpret, block_b)
+
+
+def _fused_qkv_fwd(qkv, heads, key_padding_mask, scale, interpret, block_b):
+    out = _fused_qkv_forward(qkv, heads, key_padding_mask, scale, interpret, block_b)
+    return out, (qkv, key_padding_mask)
+
+
+def _fused_qkv_bwd(heads, scale, _interpret, _block_b, residuals, g):
+    qkv, key_padding_mask = residuals
+
+    def ref(qkv):
+        return _fused_qkv_reference(qkv, heads, key_padding_mask, scale)
+
+    _, vjp = jax.vjp(ref, qkv)
+    (dqkv,) = vjp(g)
+    dmask = (
+        None
+        if key_padding_mask is None
+        else np.zeros(key_padding_mask.shape, dtype=jax.dtypes.float0)
+    )
+    return (dqkv, dmask)
+
+
+_fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def fused_qkv_attention(
+    qkv: jnp.ndarray,
+    heads: int,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    block_b: int = 8,
+) -> jnp.ndarray:
+    """Bias-free SDPA over the raw fused-QKV gemm output.
+
+    Args:
+        qkv: ``[B, T, 3·E]`` — the direct ``Dense(3E)`` output, column order
+            ``q | k | v`` each ``[heads, head_dim]``-major (the standard ViT
+            fused-qkv layout).
+        heads: attention head count (``E = qkv.shape[-1] // 3`` divides it).
+        key_padding_mask: ``[B, T]`` boolean, True = padded key.
+        scale: logit scale, default ``1/sqrt(head_dim)``.
+
+    Returns ``[B, T, E]`` — heads already merged; feed the out-projection
+    directly. Equal to split-transpose + ``gated_bias_attention(pos_bias=
+    None)`` + merge, with all of those data movements inside the kernel
+    boundary (see ``_fused_qkv_kernel``).
+    """
+    dim = qkv.shape[-1] // 3
+    head_dim = dim // heads
+    scale = scale if scale is not None else 1.0 / math.sqrt(head_dim)
+    return _fused_qkv_attention(qkv, heads, key_padding_mask, scale, interpret, block_b)
 
 
 def gated_bias_attention(

@@ -17,6 +17,7 @@ REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
 @pytest.mark.integration
+@pytest.mark.slow  # full dryrun cell (~31 s; round-5 re-tier)
 def test_dryrun_supervised_cell_direct_import():
     """In-process call: conftest already pinned an 8-device CPU topology, so
     this exercises the fast path (no subprocess). Runs the supervised DP×TP

@@ -93,6 +93,7 @@ def _eval_config(tmp_path, probe_cfg: ProbeConfig, eval_modes):
 
 
 @pytest.mark.integration
+@pytest.mark.slow  # full eval pipeline (~23 s; round-5 re-tier)
 def test_offline_linear_probe_with_retrieval_and_clustering(tmp_path):
     config = _eval_config(
         tmp_path,

@@ -55,6 +55,7 @@ def test_list_models_command():
     assert result.exit_code == 0, result.output
 
 
+@pytest.mark.slow  # full Trainer build+epoch (~44 s; round-5 re-tier)
 def test_train_command_with_patches(tmp_path):
     cfg_path = tmp_path / "run.yml"
     cfg_path.write_text(yaml.safe_dump(_tiny_run_config(tmp_path)))

@@ -129,19 +129,21 @@ def test_bias_free_gradients_match_xla(rng):
 
 
 def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
-    """EAT/Bird-MAE blocks auto-enable the bias-free kernel on TPU at T>=384."""
+    """EAT/Bird-MAE blocks auto-enable the fused-QKV kernel on TPU at T>=384
+    (round 5: the Pallas path consumes the raw [B, T, 3E] gemm output — the
+    split/transpose lives inside the kernel boundary)."""
     import avex_tpu.ops.pallas_attention as pa
     from avex_tpu.models.eat import _Block
 
     calls = []
-    real = pa.gated_bias_attention
+    real = pa.fused_qkv_attention
 
-    def recorder(*args, **kw):
-        calls.append(kw.get("pos_bias", args[3] if len(args) > 3 else "?"))
+    def recorder(qkv, *args, **kw):
+        calls.append(qkv.shape)
         kw["interpret"] = True
-        return real(*args, **kw)
+        return real(qkv, *args, **kw)
 
-    monkeypatch.setattr(pa, "gated_bias_attention", recorder)
+    monkeypatch.setattr(pa, "fused_qkv_attention", recorder)
 
     b, t, e = 1, 392, 32
     x = jnp.asarray(rng.standard_normal((b, t, e)).astype(np.float32) * 0.1)
@@ -152,10 +154,10 @@ def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
     block.apply(variables, x)
     assert calls == []
 
-    # Fake TPU backend: kernel at T>=384, bias-free (pos_bias=None) ...
+    # Fake TPU backend: fused-QKV kernel at T>=384, fed the RAW 3E tensor...
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     out_pallas, _ = block.apply(variables, x)
-    assert len(calls) == 1 and calls[0] is None
+    assert calls == [(b, t, 3 * e)]
 
     # ... and the routed output matches the XLA path.
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
@@ -233,3 +235,74 @@ def test_use_pallas_auto_policy(rng, monkeypatch):
     attn.apply(attn.init(jax.random.PRNGKey(0), short, short_bias, None),
                short, short_bias, None)
     assert len(calls) == 1
+
+
+# ---------------------------------------------------------------------------
+# Fused-QKV cell (round-4 verdict task #3): the split/transpose + head-merge
+# live inside the kernel boundary as BlockSpec views of one [B, T, 3E] tensor.
+# ---------------------------------------------------------------------------
+
+
+def _fused_ref(qkv, heads, pad=None, scale=None):
+    b, t, three_e = qkv.shape
+    dim = three_e // 3
+    dh = dim // heads
+    parts = qkv.reshape(b, t, 3, heads, dh)
+    q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    bias = None
+    if pad is not None:
+        bias = jnp.where(pad[:, None, None, :], -jnp.inf, 0.0)
+    out = dot_product_attention(q, k, v, bias=bias, scale=scale or dh**-0.5)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, dim)
+
+
+@pytest.mark.parametrize("seq", [17, 48])  # 17 = CLS-odd length
+def test_fused_qkv_matches_split_path(rng, seq):
+    from avex_tpu.ops.pallas_attention import fused_qkv_attention
+
+    b, heads, dh = 2, 4, 16
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+    out = fused_qkv_attention(qkv, heads=heads, interpret=True)
+    expected = _fused_ref(qkv, heads)
+    assert out.shape == (b, seq, heads * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_qkv_padding_mask(rng):
+    from avex_tpu.ops.pallas_attention import fused_qkv_attention
+
+    b, seq, heads, dh = 2, 16, 2, 16
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+    pad = np.zeros((b, seq), bool)
+    pad[1, 10:] = True
+    pad = jnp.asarray(pad)
+    out = fused_qkv_attention(qkv, heads=heads, key_padding_mask=pad, interpret=True)
+    expected = _fused_ref(qkv, heads, pad=pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_qkv_gradients_match_xla(rng):
+    from avex_tpu.ops.pallas_attention import fused_qkv_attention
+
+    b, seq, heads, dh = 2, 8, 2, 8
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+
+    g_kernel = jax.grad(lambda x: fused_qkv_attention(x, heads=heads, interpret=True).sum())(qkv)
+    g_ref = jax.grad(lambda x: _fused_ref(x, heads).sum())(qkv)
+    np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref), atol=2e-5, rtol=1e-4)
+
+
+def test_eat_block_pallas_path_uses_fused_qkv(rng, monkeypatch):
+    """The _Block Pallas path consumes the raw QKV gemm output (no HLO
+    split/transpose) and still matches the XLA block bit-for-tolerance."""
+    from avex_tpu.models.eat import _Block
+
+    # interpret-mode Pallas on CPU: force the flag on.
+    spec = jnp.asarray(rng.standard_normal((2, 9, 32)).astype(np.float32))
+    xla_block = _Block(dim=32, heads=4, use_pallas=False)
+    variables = xla_block.init(jax.random.PRNGKey(0), spec)
+    ref, ref_proj = xla_block.apply(variables, spec)
+    pallas_block = _Block(dim=32, heads=4, use_pallas=True)
+    out, out_proj = pallas_block.apply(variables, spec)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_proj), np.asarray(ref_proj), atol=2e-5, rtol=1e-4)

@@ -191,6 +191,7 @@ def _tiny_beats_cfg(**overrides):
     return BEATsConfig(**base)
 
 
+@pytest.mark.slow  # two BEATs builds + 4 jits (~34 s; round-5 re-tier)
 def test_pipelined_beats_forward_is_bit_exact(rng):
     from avex_tpu.models.beats import BEATsBackbone
 
@@ -295,6 +296,7 @@ def _pipeline_run_config(data, model_axis, micro, batch=4):
     )
 
 
+@pytest.mark.slow  # two Trainer builds (~27 s; round-5 re-tier)
 def test_trainer_pipeline_step_matches_single_device(monkeypatch):
     """mesh.pipeline_microbatches > 0 trains through the GPipe schedule with
     loss parity against a plain 1-device step, and the stacked layer params

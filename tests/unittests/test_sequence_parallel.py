@@ -44,6 +44,7 @@ def test_sequence_parallel_beats_forward_is_bit_exact(rng):
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+@pytest.mark.slow  # two Trainer builds (~24 s; round-5 re-tier)
 def test_trainer_sequence_parallel_step_matches_single_device(monkeypatch):
     monkeypatch.setenv("AVEX_TPU_DONATE", "0")
     from tests.unittests.test_pipeline import _pipeline_run_config
