@@ -85,12 +85,16 @@ class _Block(nn.Module):
         use_pallas = self.use_pallas
         if use_pallas is None:
             use_pallas = seq >= 384 and jax.default_backend() == "tpu"
-        if ring is None and use_pallas:
+        from avex_tpu.ops.pallas_attention import fused_qkv_compatible
+
+        if ring is None and use_pallas and fused_qkv_compatible(dim, self.heads):
             # Widened kernel boundary: the split/transpose and head-merge
             # live INSIDE the Pallas call as BlockSpec views, so XLA sees
             # gemm -> pallas -> gemm with no HBM-materialized relayouts
             # (the round-4 1.33x-isolated -> +3%-in-model dilution was
-            # exactly those relayouts; see ops/pallas_attention.py).
+            # exactly those relayouts; see ops/pallas_attention.py). Shapes
+            # whose head groups don't tile to 128 lanes (Bird-MAE huge,
+            # dh=80) take the split-input kernel below instead.
             from avex_tpu.ops.pallas_attention import fused_qkv_attention
 
             attn = fused_qkv_attention(qkv_raw, heads=self.heads, scale=head_dim**-0.5)
@@ -112,6 +116,12 @@ class _Block(nn.Module):
                 attn = ring_attention(
                     q, k, v, scale=head_dim**-0.5, mesh=ring, key_padding_mask=mask
                 )[:, :, :seq]
+            elif use_pallas:
+                # Pallas-profitable shape that can't take the fused-QKV
+                # boundary: the round-4 split-input kernel.
+                from avex_tpu.ops.pallas_attention import gated_bias_attention
+
+                attn = gated_bias_attention(q, k, v, pos_bias=None, scale=head_dim**-0.5)
             else:
                 # bf16 compute runs the softmax chain in bf16 too (the
                 # [B,H,T,T] stream dominates HBM traffic; fp32 keeps the

@@ -85,7 +85,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gated_bias_attention", "fused_qkv_attention"]
+__all__ = ["gated_bias_attention", "fused_qkv_attention", "fused_qkv_compatible"]
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref, *, scale):
@@ -306,7 +306,9 @@ def _bwd(scale, _interpret, _block_b, residuals, g):
 _gated_bias_attention.defvjp(_fwd, _bwd)
 
 
-def _fused_qkv_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, pad_ref, out_ref, *, scale):
+def _fused_qkv_kernel(
+    qkv_q_ref, qkv_k_ref, qkv_v_ref, pad_ref, out_ref, *, scale, head_dim
+):
     """Bias-free cell over the RAW fused-QKV gemm output.
 
     The round-4 finding: the isolated 1.33x of the bias-free kernel diluted
@@ -314,31 +316,39 @@ def _fused_qkv_kernel(qkv_q_ref, qkv_k_ref, qkv_v_ref, pad_ref, out_ref, *, scal
     split/transpose (and the output merge) into its attention chain, while
     the ``pallas_call`` boundary forces them to materialize in HBM. This
     cell widens the boundary: the inputs are three BlockSpec VIEWS of the
-    same ``[B, T, 3E]`` tensor (per-head column slices at offsets ``h·dh``,
-    ``E + h·dh``, ``2E + h·dh``) and the output block writes the ``[T, dh]``
-    head slice of a ``[B, T, E]`` result directly — the split, the four
+    same ``[B, T, 3E]`` tensor (column slices at offsets ``g·W``,
+    ``E + g·W``, ``2E + g·W``) and the output block writes the ``[T, W]``
+    slice of a ``[B, T, E]`` result directly — the split, the four
     transposes, and the merge all become free VMEM addressing.
+
+    Mosaic requires the block's last dim to be a lane multiple (128), so one
+    grid cell covers a GROUP of ``W / head_dim`` adjacent heads (e.g. 2
+    64-wide ViT heads per 128-wide block) and unrolls over them.
     """
     nb = qkv_q_ref.shape[0]
-    for i in range(nb):  # static unroll
-        q = qkv_q_ref[i]  # [T, dh] head slice, compute dtype
-        k = qkv_k_ref[i]
-        v = qkv_v_ref[i]
-        logits = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        logits = logits * scale
-        logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over keys
-        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out_ref[i] = jax.lax.dot_general(
-            weights,
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(out_ref.dtype)
+    width = qkv_q_ref.shape[-1]
+    heads_per_block = width // head_dim
+    for i in range(nb):  # static unroll over batch items
+        for j in range(heads_per_block):  # and over the head group
+            sl = slice(j * head_dim, (j + 1) * head_dim)
+            q = qkv_q_ref[i, :, sl]  # [T, dh] head slice, compute dtype
+            k = qkv_k_ref[i, :, sl]
+            v = qkv_v_ref[i, :, sl]
+            logits = jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * scale
+            logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over keys
+            weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out_ref[i, :, sl] = jax.lax.dot_general(
+                weights,
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
 
 
 def _fused_qkv_reference(qkv, heads, key_padding_mask, scale):
@@ -352,42 +362,74 @@ def _fused_qkv_reference(qkv, heads, key_padding_mask, scale):
     return out.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
 
 
+def _heads_per_block(heads: int, head_dim: int) -> int:
+    """Adjacent heads per grid cell so the column block is a 128-lane
+    multiple (Mosaic's last-dim constraint). 0 = incompatible shape."""
+    if head_dim >= 128:
+        return 1 if head_dim % 128 == 0 else 0
+    if 128 % head_dim:
+        return 0
+    hb = 128 // head_dim
+    return hb if heads % hb == 0 else 0
+
+
+def fused_qkv_compatible(dim: int, heads: int) -> bool:
+    """True when ``fused_qkv_attention`` can lower for these shapes on a
+    real TPU (head groups tile to 128 lanes). ViT-base (dh=64) and any
+    dh ∈ {16, 32, 64, 128·k} with a dividing head count qualify; e.g.
+    Bird-MAE huge (dh=80) does not — callers fall back to the split-input
+    kernel there."""
+    head_dim = dim // heads
+    return _heads_per_block(heads, head_dim) > 0
+
+
 def _fused_qkv_forward(qkv, heads, key_padding_mask, scale, interpret, block_b):
     bsz, seq, three_e = qkv.shape
     dim = three_e // 3
     head_dim = dim // heads
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    hb = _heads_per_block(heads, head_dim)
+    if hb == 0:
+        if not interpret:
+            raise ValueError(
+                f"fused_qkv_attention: head_dim {head_dim} x heads {heads} "
+                "does not tile to 128 lanes (see fused_qkv_compatible); use "
+                "the split-input gated_bias_attention path"
+            )
+        hb = 1  # interpreter has no lane constraint
     while bsz % block_b:
         block_b //= 2
     nb = max(block_b, 1)
+    width = hb * head_dim  # block column width (a 128 multiple on TPU)
+    groups = heads // hb
 
     if key_padding_mask is not None:
         pad_bias = jnp.where(key_padding_mask, -jnp.inf, 0.0).astype(jnp.float32)[:, None, :]
     else:
         pad_bias = jnp.zeros((bsz, 1, seq), jnp.float32)
 
-    grid = (heads, bsz // nb)
+    grid = (groups, bsz // nb)
     compiler_params = None
     if seq > 512:
         compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
 
-    # Three views of ONE array: block index h on the last axis selects the
-    # h-th head-dim column slice; q/k/v differ only by a `heads` offset.
+    # Three views of ONE array: block index g on the last axis selects the
+    # g-th head-group column slice; q/k/v differ only by a `groups` offset.
     def _slice_spec(part):
         return pl.BlockSpec(
-            (nb, seq, head_dim),
-            lambda h, b, part=part: (b, 0, part * heads + h),
+            (nb, seq, width),
+            lambda g, b, part=part: (b, 0, part * groups + g),
             memory_space=pltpu.VMEM,
         )
 
-    pad_spec = pl.BlockSpec((nb, 1, seq), lambda h, b: (b, 0, 0), memory_space=pltpu.VMEM)
+    pad_spec = pl.BlockSpec((nb, 1, seq), lambda g, b: (b, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_fused_qkv_kernel, scale=scale),
+        functools.partial(_fused_qkv_kernel, scale=scale, head_dim=head_dim),
         grid=grid,
         in_specs=[_slice_spec(0), _slice_spec(1), _slice_spec(2), pad_spec],
         out_specs=pl.BlockSpec(
-            (nb, seq, head_dim), lambda h, b: (b, 0, h), memory_space=pltpu.VMEM
+            (nb, seq, width), lambda g, b: (b, 0, g), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, seq, dim), qkv.dtype),
         interpret=interpret,

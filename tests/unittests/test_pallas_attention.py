@@ -145,7 +145,8 @@ def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
 
     monkeypatch.setattr(pa, "fused_qkv_attention", recorder)
 
-    b, t, e = 1, 392, 32
+    # dh=32 tiles to 128 lanes (fused_qkv_compatible) so the fused cell routes.
+    b, t, e = 1, 392, 128
     x = jnp.asarray(rng.standard_normal((b, t, e)).astype(np.float32) * 0.1)
     block = _Block(dim=e, heads=4)
     variables = block.init(jax.random.PRNGKey(0), x)
