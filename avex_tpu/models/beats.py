@@ -129,12 +129,18 @@ class _GatedRelPosAttention(nn.Module):
     num_heads: int
     gru_rel_pos: bool = True
     dropout: float = 0.0
-    #: fused Pallas attention kernel. None = auto: on for real-TPU traces at
-    #: T >= 384, where the measured crossover puts the fused kernel ahead of
-    #: XLA's schedule (v5e, docs/architecture.md: 0.97x at T=248, 1.15x at
-    #: 384, 1.32x at 512 — the [B,H,T,T] HBM streams XLA materializes grow
-    #: quadratically while the kernel keeps them in VMEM). Explicit True/False
-    #: overrides (False = always XLA, True = kernel even at short T).
+    #: Pallas attention kernel. None = auto: always XLA for this GATED
+    #: attention — the round-3/4 isolated crossover (1.15x at T=384, 1.32x at
+    #: 512) did NOT survive in-model: full-BEATs bf16 B=128 on v5e measured
+    #: XLA 753 clips/s vs 588 split-kernel vs 688 fused-QKV-boundary kernel
+    #: at T=496, and 1,822 vs 1,482 (fused) at T=248 (round 5,
+    #: AVEX_BENCH_CLIP_S=10 AVEX_ABLATE=xlaattn,full,fusedpallas
+    #: scripts/bench_ablation.py; docs/architecture.md). XLA's schedule
+    #: overlaps the gate/bias streams with other layers' projections, which a
+    #: single-kernel grid cannot. The bias-FREE ViT cells (EAT/Bird-MAE) are
+    #: where the kernel wins — they keep their own T>=384 auto policy.
+    #: Explicit True forces the kernel (split input, or the fused-QKV
+    #: boundary when fused_qkv=True and shapes tile).
     use_pallas: Optional[bool] = None
     #: run the [B, H, T, T] logits/softmax chain in the compute dtype instead
     #: of fp32 — halves the dominant HBM stream of the whole model (measured
@@ -178,10 +184,30 @@ class _GatedRelPosAttention(nn.Module):
         else:
             dense = lambda name: nn.Dense(self.embed_dim, dtype=self.dtype, name=name)  # noqa: E731
 
+        # Auto resolves to XLA at every length: the in-model measurements
+        # (round 5, see the use_pallas field comment) put XLA ahead of both
+        # kernel variants for this gated attention at T=248 AND T=496 — the
+        # isolated-microbench crossover did not survive the model context.
+        use_pallas = bool(self.use_pallas)
+
+        fused_kernel = False
+        qkv_raw = None
         if self.fused_qkv and not self.quantize:
-            qkv = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="qkv_proj")(x)
-            qkv = qkv.reshape(bsz, seq, 3, self.num_heads, head_dim)
-            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            from avex_tpu.ops.pallas_attention import fused_qkv_compatible
+
+            qkv_raw = nn.Dense(3 * self.embed_dim, dtype=self.dtype, name="qkv_proj")(x)
+            # Widened kernel boundary (round 5): consume the raw [B, T, 3E]
+            # gemm output; split/transpose + gate x bias + head-merge all
+            # live inside the Pallas call (ops/pallas_attention.py).
+            fused_kernel = (
+                self.ring_mesh is None
+                and use_pallas
+                and position_bias is not None
+                and fused_qkv_compatible(self.embed_dim, self.num_heads)
+            )
+            if not fused_kernel:
+                qkv = qkv_raw.reshape(bsz, seq, 3, self.num_heads, head_dim)
+                q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
         else:
             q = dense("q_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
             k = dense("k_proj")(x).reshape(bsz, seq, self.num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -192,12 +218,35 @@ class _GatedRelPosAttention(nn.Module):
             grep_a = self.param(
                 "grep_a", nn.initializers.ones, (1, self.num_heads, 1, 1), jnp.float32
             )
-            gates = nn.Dense(8, dtype=self.dtype, name="grep_linear")(q)
-            gates = jax.nn.sigmoid(
-                gates.reshape(bsz, self.num_heads, seq, 2, 4).sum(-1).astype(jnp.float32)
-            )
+            if fused_kernel:
+                # Same grep math from the q column view of the fused gemm —
+                # the [B,H,T,dh] transpose only happens on this tiny 8-wide
+                # projection output, never on q itself.
+                gq = qkv_raw[..., : self.embed_dim].reshape(bsz, seq, self.num_heads, head_dim)
+                gates = nn.Dense(8, dtype=self.dtype, name="grep_linear")(gq)
+                gates = jax.nn.sigmoid(
+                    gates.reshape(bsz, seq, self.num_heads, 2, 4).sum(-1).astype(jnp.float32)
+                ).transpose(0, 2, 1, 3)  # [B, H, T, 2]
+            else:
+                gates = nn.Dense(8, dtype=self.dtype, name="grep_linear")(q)
+                gates = jax.nn.sigmoid(
+                    gates.reshape(bsz, self.num_heads, seq, 2, 4).sum(-1).astype(jnp.float32)
+                )
             gate_a, gate_b = gates[..., 0:1], gates[..., 1:2]
             gate = gate_a * (gate_b * grep_a - 1.0) + 2.0  # [B, H, T, 1]
+
+        if fused_kernel:
+            from avex_tpu.ops.pallas_attention import fused_qkv_gated_attention
+
+            out = fused_qkv_gated_attention(
+                qkv_raw,
+                heads=self.num_heads,
+                pos_bias=position_bias[0],
+                gate=None if gate is None else gate[..., 0],
+                key_padding_mask=key_padding_mask,
+                scale=head_dim**-0.5,
+            )
+            return dense("out_proj")(out)
 
         ring = self.ring_mesh
         if ring is not None:
@@ -231,12 +280,6 @@ class _GatedRelPosAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(bsz, seq, self.embed_dim)
             return dense("out_proj")(out)
 
-        use_pallas = self.use_pallas
-        if use_pallas is None:
-            # Auto: the kernel wins past the measured T~384 crossover, but
-            # only compile it for real TPUs — elsewhere (CPU tests, virtual
-            # meshes) the Pallas interpreter would crawl, so keep XLA.
-            use_pallas = seq >= 384 and jax.default_backend() == "tpu"
         if use_pallas and position_bias is not None:
             # Fused kernel: gate x shared-bias never materializes in HBM
             # (avex_tpu/ops/pallas_attention.py).

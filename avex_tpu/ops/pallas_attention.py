@@ -61,16 +61,29 @@ At the 5 s-clip BEATs shape (T=248) XLA still wins by ~3%: its unfused
 schedule overlaps the [T,64] MXU passes of *different* layers' projections
 with the softmax VPU work, which a single-kernel grid cannot. Past T~384 the
 quadratically growing [B,H,T,T] logits/softmax HBM streams dominate and the
-in-VMEM chain wins by 15-35% — long-clip / windowed-recording inference and
-EAT-class 513-token encoders are exactly this regime. ``use_pallas=None``
-(the default) therefore auto-enables the kernel for real-TPU traces at
-T >= 384 (``models/beats.py``, ``models/eat.py``); cells at T > 512 raise
-Mosaic's scoped-VMEM limit (measured need: 24.3 MB at T=1024, 28 MB at
-T=2048 — v5e has 128 MB). In-model the isolated 1.33x dilutes to +3%
-end-to-end for EAT/Bird-MAE (743 vs 722, 722 vs 702 clips/s): XLA's baseline
-inside the model is faster than in isolation because it fuses the QKV
-split/transpose into the attention chain, which the pallas_call boundary
-prevents.
+in-VMEM chain wins by 15-35% *in isolation* — but the round-5 IN-MODEL
+measurements split the verdict by attention flavour:
+
+- **bias-free ViT cells (EAT / Bird-MAE)**: the fused-QKV boundary variant
+  (``fused_qkv_attention``) wins +49% end-to-end at T=513, so those models
+  auto-enable it for real-TPU traces at T >= 384 (``models/eat.py``).
+- **gated-bias cells (BEATs)**: XLA wins in-model at EVERY measured length —
+  full BEATs bf16 B=128 on v5e: T=248 XLA 1,822 clips/s vs 1,482 fused-QKV
+  gated kernel; T=496 XLA 753 vs 688 fused vs 588 split-input (the round-4
+  T>=384 auto-enable was a 22% regression for windowed BEATs and is now
+  removed — ``models/beats.py`` auto resolves to XLA; explicit
+  ``use_pallas=True`` still forces the kernel). The gated chain gives XLA
+  extra fusible elementwise work (gate x bias, the [B,H,T,T] product) that
+  its scheduler overlaps across layers; inside one kernel grid the same work
+  serializes against the MXU passes.
+
+Cells at T > 512 raise Mosaic's scoped-VMEM limit (measured need: 24.3 MB at
+T=1024, 28 MB at T=2048 — v5e has 128 MB); the gated fused-QKV cell crosses
+16 MB already at T=496 (19.4 MB). In-model the isolated 1.33x of the
+SPLIT-input bias-free kernel dilutes to +3% end-to-end for EAT/Bird-MAE:
+XLA's baseline inside the model fuses the QKV split/transpose into the
+attention chain, which the pallas_call boundary prevents — the fused-QKV
+boundary variants exist exactly to reclaim that (round 5, +49%).
 """
 
 from __future__ import annotations
@@ -85,7 +98,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gated_bias_attention", "fused_qkv_attention", "fused_qkv_compatible"]
+__all__ = [
+    "gated_bias_attention",
+    "fused_qkv_attention",
+    "fused_qkv_gated_attention",
+    "fused_qkv_compatible",
+]
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, gate_ref, pad_ref, out_ref, *, scale):
@@ -351,6 +369,51 @@ def _fused_qkv_kernel(
             ).astype(out_ref.dtype)
 
 
+def _fused_qkv_gated_kernel(
+    qkv_q_ref, qkv_k_ref, qkv_v_ref, bias_ref, gate_ref, pad_ref, out_ref, *, scale, head_dim
+):
+    """Gated-bias cell over the RAW fused-QKV gemm output (the BEATs chain).
+
+    The round-5 EAT result showed the round-4 "kernel ~ XLA" verdicts were
+    really measuring the relayout tax at the ``pallas_call`` boundary: the
+    bias-free fused-boundary cell turned a +3% into +49%. This cell is the
+    same widened boundary for the *gated* attention BEATs runs at T=248 —
+    three BlockSpec views of one ``[B, T, 3E]`` tensor in, merged
+    ``[B, T, E]`` out, with the per-layer gate and the shared T5 bias applied
+    in registers. One grid cell covers ``width/head_dim`` adjacent heads
+    (Mosaic's 128-lane block constraint), so the bias block is
+    ``[heads_per_block, T, T]`` and stays resident across the inner batch
+    grid axis.
+    """
+    nb = qkv_q_ref.shape[0]
+    width = qkv_q_ref.shape[-1]
+    heads_per_block = width // head_dim
+    for j in range(heads_per_block):  # static unroll over the head group
+        bias = bias_ref[j].astype(jnp.float32)  # [T, T], resident for the j-loop
+        sl = slice(j * head_dim, (j + 1) * head_dim)
+        for i in range(nb):  # and over batch items
+            q = qkv_q_ref[i, :, sl]  # [T, dh] head slice, compute dtype
+            k = qkv_k_ref[i, :, sl]
+            v = qkv_v_ref[i, :, sl]
+            logits = jax.lax.dot_general(
+                q,
+                k,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * scale
+            gate = gate_ref[i, j].astype(jnp.float32)  # [T, 1]
+            logits = logits + gate * bias
+            logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over keys
+            weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out_ref[i, :, sl] = jax.lax.dot_general(
+                weights,
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+
+
 def _fused_qkv_reference(qkv, heads, key_padding_mask, scale):
     """jnp twin of the fused-QKV cell (used for the custom backward)."""
     bsz, seq, three_e = qkv.shape
@@ -464,6 +527,169 @@ def _fused_qkv_bwd(heads, scale, _interpret, _block_b, residuals, g):
 
 
 _fused_qkv_attention.defvjp(_fused_qkv_fwd, _fused_qkv_bwd)
+
+
+def _fused_qkv_gated_reference(qkv, heads, pos_bias, gate, key_padding_mask, scale):
+    """jnp twin of the fused-QKV gated cell (used for the custom backward)."""
+    bsz, seq, three_e = qkv.shape
+    dim = three_e // 3
+    head_dim = dim // heads
+    parts = qkv.reshape(bsz, seq, 3, heads, head_dim)
+    q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    out = _attention_reference(q, k, v, pos_bias, gate, key_padding_mask, scale)
+    return out.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
+
+
+def _fused_qkv_gated_forward(
+    qkv, pos_bias, gate, key_padding_mask, heads, scale, interpret, block_b
+):
+    bsz, seq, three_e = qkv.shape
+    dim = three_e // 3
+    head_dim = dim // heads
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hb = _heads_per_block(heads, head_dim)
+    if hb == 0:
+        if not interpret:
+            raise ValueError(
+                f"fused_qkv_gated_attention: head_dim {head_dim} x heads {heads} "
+                "does not tile to 128 lanes (see fused_qkv_compatible); use "
+                "the split-input gated_bias_attention path"
+            )
+        hb = 1  # interpreter has no lane constraint
+    while bsz % block_b:
+        block_b //= 2
+    nb = max(block_b, 1)
+    width = hb * head_dim  # block column width (a 128 multiple on TPU)
+    groups = heads // hb
+
+    if key_padding_mask is not None:
+        pad_bias = jnp.where(key_padding_mask, -jnp.inf, 0.0).astype(jnp.float32)[:, None, :]
+    else:
+        pad_bias = jnp.zeros((bsz, 1, seq), jnp.float32)
+    if gate is None:
+        gate_arr = jnp.ones((bsz, heads, seq), qkv.dtype)
+    else:
+        gate_arr = gate
+    gate_arr = gate_arr[..., None]  # [B, H, T, 1]
+
+    # head-groups OUTER, batch INNER: the bias block index only changes when
+    # the group does, so the [hb, T, T] slice stays resident across the batch.
+    grid = (groups, bsz // nb)
+    compiler_params = None
+    if seq > 256:
+        # The gated cell carries an [hb, T, T] fp32 bias block on top of the
+        # qkv views — it crosses Mosaic's 16 MB default scoped-VMEM limit
+        # already at T=496 (measured: 19.4 MB needed); v5e has 128 MB.
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+    def _slice_spec(part):
+        return pl.BlockSpec(
+            (nb, seq, width),
+            lambda g, b, part=part: (b, 0, part * groups + g),
+            memory_space=pltpu.VMEM,
+        )
+
+    bias_spec = pl.BlockSpec((hb, seq, seq), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec(
+        (nb, hb, seq, 1), lambda g, b: (b, g, 0, 0), memory_space=pltpu.VMEM
+    )
+    pad_spec = pl.BlockSpec((nb, 1, seq), lambda g, b: (b, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fused_qkv_gated_kernel, scale=scale, head_dim=head_dim),
+        grid=grid,
+        in_specs=[
+            _slice_spec(0),
+            _slice_spec(1),
+            _slice_spec(2),
+            bias_spec,
+            gate_spec,
+            pad_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (nb, seq, width), lambda g, b: (b, 0, g), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, seq, dim), qkv.dtype),
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(qkv, qkv, qkv, pos_bias, gate_arr, pad_bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _fused_qkv_gated_attention(
+    qkv, pos_bias, gate, key_padding_mask, heads, scale, interpret, block_b
+):
+    return _fused_qkv_gated_forward(
+        qkv, pos_bias, gate, key_padding_mask, heads, scale, interpret, block_b
+    )
+
+
+def _fused_qkv_gated_fwd(qkv, pos_bias, gate, key_padding_mask, heads, scale, interpret, block_b):
+    out = _fused_qkv_gated_forward(
+        qkv, pos_bias, gate, key_padding_mask, heads, scale, interpret, block_b
+    )
+    return out, (qkv, pos_bias, gate, key_padding_mask)
+
+
+def _fused_qkv_gated_bwd(heads, scale, _interpret, _block_b, residuals, g):
+    qkv, pos_bias, gate, key_padding_mask = residuals
+    has_gate = gate is not None
+
+    def ref(qkv, pos_bias, gate):
+        return _fused_qkv_gated_reference(
+            qkv, heads, pos_bias, gate if has_gate else None, key_padding_mask, scale
+        )
+
+    _, vjp = jax.vjp(ref, qkv, pos_bias, gate if has_gate else jnp.zeros(()))
+    dqkv, dbias, dgate = vjp(g)
+    dmask = (
+        None
+        if key_padding_mask is None
+        else np.zeros(key_padding_mask.shape, dtype=jax.dtypes.float0)
+    )
+    return (dqkv, dbias, dgate if has_gate else None, dmask)
+
+
+_fused_qkv_gated_attention.defvjp(_fused_qkv_gated_fwd, _fused_qkv_gated_bwd)
+
+
+def fused_qkv_gated_attention(
+    qkv: jnp.ndarray,
+    heads: int,
+    pos_bias: jnp.ndarray,
+    gate: Optional[jnp.ndarray] = None,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+    block_b: int = 8,
+) -> jnp.ndarray:
+    """Gated-bias SDPA over the raw fused-QKV gemm output (BEATs chain).
+
+    ``softmax(q·kᵀ·scale + gate ⊙ pos_bias + pad) · v`` where q/k/v are
+    column views of the direct ``Dense(3E)`` output — the split, the four
+    transposes, the [B,H,T,T] gate×bias product, and the head-merge all stay
+    inside the kernel boundary (see ``_fused_qkv_gated_kernel``). Mirrors the
+    reference BEATs attention (backbone.py:541-568) like
+    :func:`gated_bias_attention`, with the round-5 widened boundary of
+    :func:`fused_qkv_attention`.
+
+    Args:
+        qkv: ``[B, T, 3·E]`` raw fused-QKV gemm output (``q | k | v`` column
+            order, each ``[heads, head_dim]``-major).
+        heads: attention head count.
+        pos_bias: shared T5 bias ``[H, T, T]`` (batch-independent).
+        gate: per-query gate ``[B, H, T]`` (or None for ungated bias).
+        key_padding_mask: ``[B, T]`` boolean, True = padded key.
+        scale: logit scale, default ``1/sqrt(head_dim)``.
+
+    Returns ``[B, T, E]`` — heads already merged; feed the out-projection.
+    """
+    dim = qkv.shape[-1] // 3
+    head_dim = dim // heads
+    scale = scale if scale is not None else 1.0 / math.sqrt(head_dim)
+    return _fused_qkv_gated_attention(
+        qkv, pos_bias, gate, key_padding_mask, heads, scale, interpret, block_b
+    )
 
 
 def fused_qkv_attention(

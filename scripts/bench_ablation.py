@@ -20,7 +20,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CLIP_SECONDS, SR = 5, 16000
+CLIP_SECONDS = int(float(os.environ.get("AVEX_BENCH_CLIP_S", "5")) * 16000) // 16000 or 1
+SR = 16000
 
 
 def measure(tag, make_fn, example, iters=10):
@@ -151,6 +152,29 @@ def main():
             model, v = build({"fused_qkv": True})
             return (lambda v, w: model.apply(v, w)[0].astype(jnp.float32).mean()), v
         measure("full, fused qkv", fusedqkv, wav)
+
+    if "xlaattn" in which:
+        # Explicit XLA attention (auto enables the split Pallas kernel at
+        # T >= 384, so "full" is not the XLA baseline for long clips).
+        def xlaattn():
+            model, v = build({"use_pallas": False})
+            return (lambda v, w: model.apply(v, w)[0].astype(jnp.float32).mean()), v
+        measure("full, xla attention", xlaattn, wav)
+
+    if "fusedpallas" in which:
+        # Round-5 experiment: the fused-QKV *gated* Pallas boundary at T=248.
+        # Param structure is identical across use_pallas, so init the XLA twin
+        # on CPU (Mosaic cannot lower for the CPU init device) and apply the
+        # kernel model on the chip.
+        def fusedpallas():
+            _, v = build({"fused_qkv": True, "use_pallas": False})
+            cfg = BEATsConfig(
+                dropout=0.0, attention_dropout=0.0, encoder_layerdrop=0.0,
+                dropout_input=0.0, fused_qkv=True, use_pallas=True,
+            )
+            model = BEATsBackbone(cfg=cfg, dtype=jnp.bfloat16)
+            return (lambda v, w: model.apply(v, w)[0].astype(jnp.float32).mean()), v
+        measure("full, fused-qkv gated pallas", fusedpallas, wav)
 
     if "posconv" in which:
         # The grouped conv positional embedding alone: K=128, groups=16 over

@@ -200,8 +200,10 @@ def test_beats_use_pallas_end_to_end(rng):
 
 
 def test_use_pallas_auto_policy(rng, monkeypatch):
-    """use_pallas=None resolves to the kernel only for TPU traces at the
-    measured T>=384 crossover; CPU traces keep the XLA path at any T."""
+    """use_pallas=None resolves to XLA at EVERY length for the gated BEATs
+    attention (round 5: in-model, XLA beat both kernel variants at T=248 and
+    T=496 — the isolated crossover did not survive the model context).
+    Explicit True still routes the kernel."""
     import avex_tpu.ops.pallas_attention as pa
     from avex_tpu.models.beats import _GatedRelPosAttention
 
@@ -221,20 +223,19 @@ def test_use_pallas_auto_policy(rng, monkeypatch):
     attn = _GatedRelPosAttention(embed_dim=e, num_heads=h, use_pallas=None)
     variables = attn.init(jax.random.PRNGKey(0), x, bias, None)
 
-    # CPU backend: auto stays on XLA even past the crossover length.
+    # CPU backend: auto stays on XLA.
     attn.apply(variables, x, bias, None)
     assert calls == []
 
-    # TPU backend (faked): auto enables at T>=384 ...
+    # TPU backend (faked): auto stays on XLA too, even past T=384 — the old
+    # round-4 auto-enable was a measured 22% regression for windowed BEATs.
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     attn.apply(variables, x, bias, None)
-    assert len(calls) == 1
+    assert calls == []
 
-    # ... but not below the crossover.
-    short = x[:, :256]
-    short_bias = bias[:, :, :256, :256]
-    attn.apply(attn.init(jax.random.PRNGKey(0), short, short_bias, None),
-               short, short_bias, None)
+    # Explicit True forces the kernel.
+    forced = _GatedRelPosAttention(embed_dim=e, num_heads=h, use_pallas=True)
+    forced.apply(variables, x, bias, None)
     assert len(calls) == 1
 
 
@@ -291,6 +292,109 @@ def test_fused_qkv_gradients_match_xla(rng):
     g_kernel = jax.grad(lambda x: fused_qkv_attention(x, heads=heads, interpret=True).sum())(qkv)
     g_ref = jax.grad(lambda x: _fused_ref(x, heads).sum())(qkv)
     np.testing.assert_allclose(np.asarray(g_kernel), np.asarray(g_ref), atol=2e-5, rtol=1e-4)
+
+
+def _fused_gated_ref(qkv, heads, pos_bias, gate=None, pad=None, scale=None):
+    b, t, three_e = qkv.shape
+    dim = three_e // 3
+    dh = dim // heads
+    parts = qkv.reshape(b, t, 3, heads, dh)
+    q, k, v = (parts[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    bias = gate[..., None] * pos_bias[None] if gate is not None else pos_bias[None]
+    bias = jnp.asarray(bias, jnp.float32)
+    if pad is not None:
+        bias = bias + jnp.where(pad[:, None, None, :], -jnp.inf, 0.0)
+    out = dot_product_attention(q, k, v, bias=bias, scale=scale or dh**-0.5)
+    return out.transpose(0, 2, 1, 3).reshape(b, t, dim)
+
+
+@pytest.mark.parametrize("seq", [17, 48])  # 17 = odd length (Mosaic edge masking)
+def test_fused_qkv_gated_matches_reference(rng, seq):
+    from avex_tpu.ops.pallas_attention import fused_qkv_gated_attention
+
+    b, heads, dh = 2, 4, 16
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((heads, seq, seq)).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, heads, seq)).astype(np.float32))
+    out = fused_qkv_gated_attention(qkv, heads=heads, pos_bias=pos_bias, gate=gate, interpret=True)
+    expected = _fused_gated_ref(qkv, heads, pos_bias, gate)
+    assert out.shape == (b, seq, heads * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_qkv_gated_padding_mask_no_gate(rng):
+    from avex_tpu.ops.pallas_attention import fused_qkv_gated_attention
+
+    b, seq, heads, dh = 2, 16, 2, 16
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((heads, seq, seq)).astype(np.float32))
+    pad = np.zeros((b, seq), bool)
+    pad[1, 10:] = True
+    pad = jnp.asarray(pad)
+    out = fused_qkv_gated_attention(
+        qkv, heads=heads, pos_bias=pos_bias, key_padding_mask=pad, interpret=True
+    )
+    expected = _fused_gated_ref(qkv, heads, pos_bias, pad=pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_qkv_gated_gradients_match_xla(rng):
+    from avex_tpu.ops.pallas_attention import fused_qkv_gated_attention
+
+    b, seq, heads, dh = 2, 8, 2, 8
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((heads, seq, seq)).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, heads, seq)).astype(np.float32))
+
+    def loss_k(qkv, pos_bias, gate):
+        from avex_tpu.ops.pallas_attention import fused_qkv_gated_attention
+
+        return fused_qkv_gated_attention(
+            qkv, heads=heads, pos_bias=pos_bias, gate=gate, interpret=True
+        ).sum()
+
+    def loss_r(qkv, pos_bias, gate):
+        return _fused_gated_ref(qkv, heads, pos_bias, gate).sum()
+
+    got = jax.grad(loss_k, argnums=(0, 1, 2))(qkv, pos_bias, gate)
+    want = jax.grad(loss_r, argnums=(0, 1, 2))(qkv, pos_bias, gate)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4)
+
+
+def test_beats_attention_fused_kernel_routing(rng, monkeypatch):
+    """fused_qkv=True + use_pallas=True routes the RAW [B, T, 3E] gemm output
+    to the fused gated kernel and matches the split XLA path (same params)."""
+    import avex_tpu.ops.pallas_attention as pa
+    from avex_tpu.models.beats import _GatedRelPosAttention
+
+    calls = []
+    real = pa.fused_qkv_gated_attention
+
+    def recorder(qkv, *args, **kw):
+        calls.append(qkv.shape)
+        return real(qkv, *args, **kw)
+
+    monkeypatch.setattr(pa, "fused_qkv_gated_attention", recorder)
+
+    b, h, t, e = 2, 4, 24, 128  # dh=32: head groups tile to 128 lanes
+    x = jnp.asarray(rng.standard_normal((b, t, e)).astype(np.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal((1, h, t, t)).astype(np.float32) * 0.1)
+    pad = np.zeros((b, t), bool)
+    pad[1, 20:] = True
+    pad = jnp.asarray(pad)
+
+    fused = _GatedRelPosAttention(embed_dim=e, num_heads=h, fused_qkv=True, use_pallas=True)
+    variables = fused.init(jax.random.PRNGKey(0), x, bias, pad)
+    calls.clear()  # init traces the forward once too
+    out_kernel = fused.apply(variables, x, bias, pad)
+    assert calls == [(b, t, 3 * e)]
+
+    split = _GatedRelPosAttention(embed_dim=e, num_heads=h, fused_qkv=True, use_pallas=False)
+    out_xla = split.apply(variables, x, bias, pad)
+    got = np.asarray(out_kernel)[~np.asarray(pad)]
+    want = np.asarray(out_xla)[~np.asarray(pad)]
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
 
 
 def test_eat_block_pallas_path_uses_fused_qkv(rng, monkeypatch):
