@@ -56,6 +56,12 @@ class _Block(nn.Module):
     heads: int = 12
     qkv_bias: bool = False
     dtype: Any = jnp.float32
+    #: fused-QKV Pallas attention (ops/pallas_attention.py). None = auto: on
+    #: for real-TPU traces at T >= 248 (the measured in-model crossover of
+    #: the bias-free fused boundary) — fires for 10 s windows (T=250,
+    #: measured +17%: 2,108 vs 1,795 clips/s, B=128 bf16 v5e) and stays XLA
+    #: at the 5 s T=125 (measured 0.92x) — scripts/bench_fused_qkv_ab.py.
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -63,15 +69,25 @@ class _Block(nn.Module):
         head_dim = dim // self.heads
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         qkv = nn.Dense(3 * dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(h)
-        qkv = qkv.reshape(bsz, seq, 3, self.heads, head_dim)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        # bf16 compute runs the softmax chain in bf16 too (the [B,H,T,T]
-        # stream dominates HBM traffic; fp32 compute keeps the parity softmax).
-        attn = dot_product_attention(
-            q, k, v, scale=head_dim**-0.5,
-            logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = seq >= 248 and jax.default_backend() == "tpu"
+        from avex_tpu.ops.pallas_attention import fused_qkv_compatible
+
+        if use_pallas and fused_qkv_compatible(dim, self.heads):
+            from avex_tpu.ops.pallas_attention import fused_qkv_attention
+
+            attn = fused_qkv_attention(qkv, heads=self.heads, scale=head_dim**-0.5)
+        else:
+            qkv = qkv.reshape(bsz, seq, 3, self.heads, head_dim)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            # bf16 compute runs the softmax chain in bf16 too (the [B,H,T,T]
+            # stream dominates HBM traffic; fp32 keeps the parity softmax).
+            attn = dot_product_attention(
+                q, k, v, scale=head_dim**-0.5,
+                logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
         x = x + nn.Dense(dim, dtype=self.dtype, name="proj")(attn)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         h = nn.Dense(4 * dim, dtype=self.dtype, name="fc1")(h)
@@ -92,6 +108,7 @@ class FrameASTModel(nn.Module):
     num_classes: Optional[int] = None
     n_blocks_out: int = N_BLOCKS
     dtype: Any = jnp.float32
+    use_pallas: Optional[bool] = None  # threaded to every _Block
 
     @nn.compact
     def __call__(
@@ -140,6 +157,7 @@ class FrameASTModel(nn.Module):
         block_outputs: List[jnp.ndarray] = []
         for i in range(self.depth):
             tokens = _Block(dim=self.embed_dim, heads=self.heads, dtype=self.dtype,
+                            use_pallas=self.use_pallas,
                             name=f"blocks_{i}")(tokens, deterministic)
             intermediates[f"atst.blocks.{i}"] = tokens
             if self.depth - i <= self.n_blocks_out:
@@ -229,13 +247,16 @@ class Model(ModelBase):
         atst_model_path: Optional[str] = None,
         return_features_only: bool = True,
         compute_dtype: str = "float32",
+        use_pallas: Optional[bool] = None,
         seed: int = 0,
     ) -> None:
         super().__init__(device=device, audio_config=audio_config)
         self.num_classes = None if return_features_only else num_classes
         self.depth = 12
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        self.module = FrameASTModel(num_classes=self.num_classes, dtype=dtype)
+        self.module = FrameASTModel(
+            num_classes=self.num_classes, dtype=dtype, use_pallas=use_pallas
+        )
         dummy = jnp.zeros((1, 16000), jnp.float32)
         self.variables = self._init_variables(dummy, seed=seed)
         if atst_model_path:

@@ -19,7 +19,7 @@ aves_model.py:100-118).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -88,11 +88,41 @@ class _FeatureExtractor(nn.Module):
         return x  # (B, frames, 512)
 
 
+class _DenseParams(nn.Module):
+    """Param holder with ``nn.Dense``'s exact tree (``{kernel, bias}``) so the
+    fused- and split-QKV attention paths share one checkpoint layout — the
+    fused path needs the raw kernels (to concatenate into one ``[E, 3E]``
+    gemm) rather than three applied gemms."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class _EncoderLayer(nn.Module):
     """Post-norm wav2vec2 transformer layer."""
 
     cfg: AVESConfig
     dtype: Any = jnp.float32
+    #: fused-QKV Pallas attention (ops/pallas_attention.py): the three
+    #: projections concatenate into ONE [E, 3E] gemm (weight concat is ~3.5 MB
+    #: of HBM traffic per layer — free) and the split/transpose + head-merge
+    #: become BlockSpec views inside the kernel. None = auto: on for real-TPU
+    #: traces at T >= 248 — measured +7% in-model at AVES' native 5 s T=249
+    #: (1,156 vs 1,080 clips/s, B=128 bf16 v5e, scripts/bench_fused_qkv_ab.py);
+    #: the same cell loses at T=125 (ATST, 0.92x), so the bias-free fused
+    #: boundary's crossover sits between.
+    use_pallas: Optional[bool] = None
+    #: ring attention over this mesh's model axis (ops/ring_attention.py) —
+    #: long-window inference: the [B,H,T,T] score matrix never materializes.
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(self, x, padding_mask=None, deterministic: bool = True):
@@ -103,23 +133,70 @@ class _EncoderLayer(nn.Module):
         bsz, seq, _ = x.shape
 
         residual = x
-        q = nn.Dense(dim, dtype=self.dtype, name="q_proj")(x)
-        k = nn.Dense(dim, dtype=self.dtype, name="k_proj")(x)
-        v = nn.Dense(dim, dtype=self.dtype, name="v_proj")(x)
-        q = q.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
-        bias = None
-        if padding_mask is not None:
-            bias = jnp.where(padding_mask[:, None, None, :], -jnp.inf, 0.0)
-        from avex_tpu.ops.attention import dot_product_attention
+        qk, qb = _DenseParams(dim, dim, name="q_proj")()
+        kk, kb = _DenseParams(dim, dim, name="k_proj")()
+        vk, vb = _DenseParams(dim, dim, name="v_proj")()
+        ring = self.ring_mesh
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = seq >= 248 and jax.default_backend() == "tpu"
+        from avex_tpu.ops.pallas_attention import fused_qkv_compatible
 
-        # bf16 compute runs the softmax chain in bf16 too (see ops.attention).
-        attn = dot_product_attention(
-            q, k, v, bias=bias, scale=head_dim**-0.5,
-            logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
-        )
-        attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
+        dt = self.dtype
+        if ring is not None:
+            from avex_tpu.ops.ring_attention import ring_attention
+
+            q = (x.astype(dt) @ qk.astype(dt) + qb.astype(dt))
+            k = (x.astype(dt) @ kk.astype(dt) + kb.astype(dt))
+            v = (x.astype(dt) @ vk.astype(dt) + vb.astype(dt))
+            q = q.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
+            k = k.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
+            # Pad T to a ring multiple with -inf-masked keys (exact; see
+            # models/eat.py _Block) and merge the caller's frame mask in.
+            pad_len = (-seq) % int(ring.shape["model"])
+            mask = padding_mask
+            if pad_len:
+                grow = ((0, 0), (0, 0), (0, pad_len), (0, 0))
+                q, k, v = (jnp.pad(t, grow) for t in (q, k, v))
+                base = (
+                    padding_mask
+                    if padding_mask is not None
+                    else jnp.zeros((bsz, seq), bool)
+                )
+                mask = jnp.pad(base, ((0, 0), (0, pad_len)), constant_values=True)
+            attn = ring_attention(
+                q, k, v, scale=head_dim**-0.5, mesh=ring, key_padding_mask=mask
+            )[:, :, :seq]
+            attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
+        elif use_pallas and fused_qkv_compatible(dim, heads):
+            from avex_tpu.ops.pallas_attention import fused_qkv_attention
+
+            w = jnp.concatenate([qk, kk, vk], axis=1).astype(dt)
+            b = jnp.concatenate([qb, kb, vb]).astype(dt)
+            qkv_raw = x.astype(dt) @ w + b  # [B, T, 3E], q|k|v heads-major
+            attn = fused_qkv_attention(
+                qkv_raw, heads=heads, key_padding_mask=padding_mask,
+                scale=head_dim**-0.5,
+            )
+        else:
+            q = (x.astype(dt) @ qk.astype(dt) + qb.astype(dt))
+            k = (x.astype(dt) @ kk.astype(dt) + kb.astype(dt))
+            v = (x.astype(dt) @ vk.astype(dt) + vb.astype(dt))
+            q = q.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
+            k = k.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
+            v = v.reshape(bsz, seq, heads, head_dim).transpose(0, 2, 1, 3)
+            bias = None
+            if padding_mask is not None:
+                bias = jnp.where(padding_mask[:, None, None, :], -jnp.inf, 0.0)
+            from avex_tpu.ops.attention import dot_product_attention
+
+            # bf16 compute runs the softmax chain in bf16 too (see ops.attention).
+            attn = dot_product_attention(
+                q, k, v, bias=bias, scale=head_dim**-0.5,
+                logits_dtype=jnp.float32 if self.dtype == jnp.float32 else self.dtype,
+            )
+            attn = attn.transpose(0, 2, 1, 3).reshape(bsz, seq, dim)
         attn = nn.Dense(dim, dtype=self.dtype, name="out_proj")(attn)
         attn = nn.Dropout(cfg.encoder_dropout)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(residual + attn)
@@ -140,6 +217,14 @@ class AVESModel(nn.Module):
     cfg: AVESConfig
     num_classes: Optional[int] = None
     dtype: Any = jnp.float32
+    use_pallas: Optional[bool] = None  # threaded to every _EncoderLayer
+    #: nn.scan-stacked layer params (leading layer axis) — the layout
+    #: pipeline/sequence parallelism shard (same contract as models/beats.py).
+    scan_layers: bool = False
+    #: optional layer-stack runner (parallel/pipeline.py, parallel/sequence.py).
+    layer_runner: Optional[Callable] = None
+    #: ring-attention mesh for long windows (see _EncoderLayer.ring_mesh).
+    ring_mesh: Any = None
 
     @nn.compact
     def __call__(
@@ -186,20 +271,98 @@ class AVESModel(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="encoder_layer_norm")(h)
         h = nn.Dropout(cfg.encoder_dropout)(h, deterministic=deterministic)
 
+        use_layerdrop = (
+            not disable_layerdrop and cfg.encoder_layer_drop > 0 and not deterministic
+        )
         intermediates: Dict[str, jnp.ndarray] = {}
-        for i in range(cfg.encoder_num_layers):
-            layer = _EncoderLayer(cfg=cfg, dtype=self.dtype, name=f"layers_{i}")
-            new_h, ff_out = layer(h, frame_mask, deterministic)
-            if not disable_layerdrop and cfg.encoder_layer_drop > 0 and not deterministic:
-                keep = (
-                    jax.random.uniform(self.make_rng("layerdrop"), ()) > cfg.encoder_layer_drop
+        if self.layer_runner is not None and self.scan_layers and not self.is_initializing():
+            # Runner-driven layer stack: pipeline (GPipe over the stacked
+            # layer axis, parallel/pipeline.py) or Megatron-SP
+            # (parallel/sequence.py). Deterministic-only — per-layer dropout
+            # rngs do not thread through the runner contract (same caveat as
+            # models/beats.py); intermediates are not captured (only final
+            # activations cross stage boundaries).
+            if use_layerdrop:
+                raise ValueError("runner-driven encoder does not support layerdrop")
+            if not deterministic and max(
+                cfg.encoder_dropout,
+                cfg.encoder_attention_dropout,
+                cfg.encoder_ff_interm_dropout,
+                cfg.encoder_projection_dropout,
+            ) > 0:
+                raise ValueError(
+                    "runner-driven encoder (pipeline/sequence-parallel) is "
+                    "deterministic-only; set the encoder dropout rates to 0 "
+                    "to train with it"
                 )
-                new_h = jnp.where(keep, new_h, h)
-                ff_out = jnp.where(keep, ff_out, jnp.zeros_like(ff_out))
-            h = new_h
-            intermediates[
-                f"model.encoder.transformer.layers.{i}.feed_forward.output_dense"
-            ] = ff_out
+            stacked = self.get_variable("params", "layers")
+            has_mask = frame_mask is not None
+            # parent=None: free-standing functional twin of the scanned layer.
+            layer_module = _EncoderLayer(
+                cfg=cfg, dtype=self.dtype, use_pallas=self.use_pallas,
+                ring_mesh=self.ring_mesh, parent=None,
+            )
+
+            def layer_fn(p, x, *extras):
+                mask = extras[0] if has_mask else None
+                new_x, _ff = layer_module.apply({"params": p}, x, mask, True)
+                return new_x
+
+            batched = (frame_mask,) if has_mask else ()
+            h = self.layer_runner(layer_fn, stacked, h, batched, ())
+        elif self.scan_layers:
+            # One traced layer body scanned L times (params stacked on a
+            # leading layer axis) — the layout pipeline/SP shard; weight
+            # conversion stacks per-layer tensors
+            # (convert_aves_state_dict(scan_layers=True)).
+            def body(layer_module, carry, _xs):
+                x = carry
+                new_x, ff_out = layer_module(x, frame_mask, deterministic)
+                if use_layerdrop:
+                    keep = (
+                        jax.random.uniform(layer_module.make_rng("layerdrop"), ())
+                        > cfg.encoder_layer_drop
+                    )
+                    new_x = jnp.where(keep, new_x, x)
+                    ff_out = jnp.where(keep, ff_out, jnp.zeros_like(ff_out))
+                return new_x, ff_out
+
+            scanned = nn.scan(
+                body,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True, "layerdrop": True},
+                length=cfg.encoder_num_layers,
+            )
+            h, ff_stack = scanned(
+                _EncoderLayer(
+                    cfg=cfg, dtype=self.dtype, use_pallas=self.use_pallas,
+                    ring_mesh=self.ring_mesh, name="layers",
+                ),
+                h,
+                None,
+            )
+            for i in range(cfg.encoder_num_layers):
+                intermediates[
+                    f"model.encoder.transformer.layers.{i}.feed_forward.output_dense"
+                ] = ff_stack[i]
+        else:
+            for i in range(cfg.encoder_num_layers):
+                layer = _EncoderLayer(
+                    cfg=cfg, dtype=self.dtype, use_pallas=self.use_pallas,
+                    ring_mesh=self.ring_mesh, name=f"layers_{i}",
+                )
+                new_h, ff_out = layer(h, frame_mask, deterministic)
+                if use_layerdrop:
+                    keep = (
+                        jax.random.uniform(self.make_rng("layerdrop"), ())
+                        > cfg.encoder_layer_drop
+                    )
+                    new_h = jnp.where(keep, new_h, h)
+                    ff_out = jnp.where(keep, ff_out, jnp.zeros_like(ff_out))
+                h = new_h
+                intermediates[
+                    f"model.encoder.transformer.layers.{i}.feed_forward.output_dense"
+                ] = ff_out
 
         aux = {"intermediates": intermediates, "padding_mask": frame_mask, "features": h}
         if self.num_classes is not None:
@@ -216,13 +379,16 @@ class AVESModel(nn.Module):
 
 
 def convert_aves_state_dict(
-    state: Dict[str, np.ndarray], num_classes: Optional[int] = None
+    state: Dict[str, np.ndarray],
+    num_classes: Optional[int] = None,
+    scan_layers: bool = False,
 ) -> Dict[str, Any]:
     """torchaudio wav2vec2 state dict → flax variables.
 
     Handles the published AVES/BirdAVES ``*.torchaudio.pt`` naming (optionally
     behind the wrapper's ``model.`` prefix, already stripped upstream) and
-    folds the weight-normed positional conv.
+    folds the weight-normed positional conv. With ``scan_layers``, per-layer
+    tensors stack on a leading layer axis (the ``nn.scan`` layout).
     """
     from avex_tpu.models.beats import _fold_weight_norm
 
@@ -290,6 +456,10 @@ def convert_aves_state_dict(
 
     if num_classes is not None and "classifier.weight" in state:
         dense("classifier", ("classifier",))
+    if scan_layers:
+        from avex_tpu.models.eat import stack_block_params
+
+        params = stack_block_params(params, marker="layers")
     return {"params": params}
 
 
@@ -304,13 +474,24 @@ class Model(ModelBase):
         audio_config: Optional[Dict[str, Any]] = None,
         return_features_only: bool = False,
         compute_dtype: str = "float32",
+        use_pallas: Optional[bool] = None,
+        scan_layers: bool = False,
+        aves_cfg: Optional[Dict[str, Any]] = None,
         seed: int = 0,
     ) -> None:
         super().__init__(device=device, audio_config=audio_config)
-        self.config = AVESConfig()
+        self.config = AVESConfig(aves_cfg)
         self.num_classes = None if return_features_only else num_classes
+        self.scan_layers = bool(scan_layers)
         dtype = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
-        self.module = AVESModel(cfg=self.config, num_classes=self.num_classes, dtype=dtype)
+        self._module_kwargs = dict(
+            cfg=self.config,
+            num_classes=self.num_classes,
+            dtype=dtype,
+            use_pallas=use_pallas,
+            scan_layers=self.scan_layers,
+        )
+        self.module = AVESModel(**self._module_kwargs)
         dummy = jnp.zeros((1, 16000), jnp.float32)
         self.variables = self._init_variables(dummy, seed=seed)
 
@@ -324,8 +505,49 @@ class Model(ModelBase):
                 for i in range(self.config.encoder_num_layers)
             ]
 
+    def _require_scan_layout(self, what: str) -> None:
+        if not self.scan_layers:
+            raise ValueError(
+                f"{what} needs the stacked (scan_layers=True) parameter "
+                "layout; construct the model with scan_layers=True"
+            )
+
+    def enable_pipeline(self, mesh, num_microbatches: Optional[int] = None) -> None:
+        """Rebuild the module to run the layer stack pipeline-parallel over
+        ``mesh``'s model axis (GPipe — parallel/pipeline.py). Requires the
+        nn.scan layout; same contract as ``models/beats.py``."""
+        from avex_tpu.parallel.pipeline import make_pipeline_runner
+
+        self._require_scan_layout("pipeline parallelism")
+        self.module = AVESModel(
+            **{**self._module_kwargs,
+               "layer_runner": make_pipeline_runner(mesh, num_microbatches=num_microbatches)}
+        )
+        self._jit_cache.clear()
+
+    def enable_sequence_parallel(self, mesh) -> None:
+        """Rebuild the module with Megatron-SP sequence parallelism
+        (parallel/sequence.py): layer activations re-shard ``[B, T(model), E]``
+        at every layer boundary. Requires ``scan_layers=True``."""
+        from avex_tpu.parallel.sequence import make_sequence_parallel_runner
+
+        self._require_scan_layout("sequence parallelism")
+        self.module = AVESModel(
+            **{**self._module_kwargs, "layer_runner": make_sequence_parallel_runner(mesh)}
+        )
+        self._jit_cache.clear()
+
+    def enable_ring_attention(self, mesh, axis: str = "model") -> None:
+        """Rebuild the module with ring attention over ``mesh``'s model axis
+        (ops/ring_attention.py) — long-window inference mode; see
+        ``models/beats.py`` ``enable_ring_attention``."""
+        self.module = AVESModel(**{**self._module_kwargs, "ring_mesh": mesh})
+        self._jit_cache.clear()
+
     def load_state_dict(self, state: Dict[str, np.ndarray], strict: bool = False) -> None:
         """Load a torchaudio-style AVES/HuBERT state dict (prefix-tolerant)."""
-        converted = convert_aves_state_dict(state, num_classes=self.num_classes)
+        converted = convert_aves_state_dict(
+            state, num_classes=self.num_classes, scan_layers=self.scan_layers
+        )
         self.variables = merge_converted_params(self.variables, converted, strict=strict)
         self._jit_cache.clear()

@@ -65,9 +65,11 @@ class _Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     #: fused Pallas attention (bias-free cell of ops/pallas_attention.py).
-    #: None = auto: on for real-TPU traces at T >= 384 — EAT/Bird-MAE run at
-    #: T=513 (64x8 patch grid + CLS), past the measured crossover where the
-    #: VMEM-resident softmax chain beats XLA's schedule by ~1.3x.
+    #: None = auto: on for real-TPU traces at T >= 248 — the fused-QKV
+    #: boundary's measured in-model crossover (round 5, v5e bf16 B=128:
+    #: +49% at EAT's native T=513, +17% at T=250 on the identical ATST
+    #: block, +7% at T=249 on AVES, 0.92x at T=125 —
+    #: scripts/bench_fused_qkv_ab.py).
     use_pallas: Optional[bool] = None
     #: ring attention over this mesh's model axis (ops/ring_attention.py) —
     #: long-window inference: the [B,H,T,T] score matrix never materializes.
@@ -84,7 +86,7 @@ class _Block(nn.Module):
         ring = self.ring_mesh
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = seq >= 384 and jax.default_backend() == "tpu"
+            use_pallas = seq >= 248 and jax.default_backend() == "tpu"
         from avex_tpu.ops.pallas_attention import fused_qkv_compatible
 
         if ring is None and use_pallas and fused_qkv_compatible(dim, self.heads):

@@ -121,7 +121,7 @@ def measure(tag: str, source, batch: int, overrides=None, iters: int = 8) -> Non
 
     analytic_fix = 0.0
     if flops is not None:
-        analytic_fix = _analytic_pallas_attention_flops(model, batch)
+        analytic_fix = _analytic_pallas_attention_flops(model, batch, n_samples)
         flops += analytic_fix
 
     float(compiled(variables, stacked))  # warmup (compile transfer + run)
@@ -149,23 +149,32 @@ def measure(tag: str, source, batch: int, overrides=None, iters: int = 8) -> Non
     print(json.dumps(out), flush=True)
 
 
-def _analytic_pallas_attention_flops(model, batch: int) -> float:
+def _analytic_pallas_attention_flops(model, batch: int, n_samples: int) -> float:
     """Attention-core FLOPs XLA's cost model misses when the model's blocks
     run the Pallas kernel (pallas_call counts as 0 FLOPs — round-4 zoo rows
     for EAT/Bird-MAE had empty MFU cells for exactly this reason).
 
     The analytic core is QK^T + PV = ``4·B·T²·E`` per block (projections are
-    plain gemms XLA still counts). Only the ViT stacks (EAT/Bird-MAE) auto-
-    enable Pallas at T >= 384; everything else returns 0.
+    plain gemms XLA still counts). The ViT stacks (EAT/Bird-MAE) auto-enable
+    Pallas at T >= 384; AVES at T >= 248 (round-5 measured crossovers);
+    everything else returns 0.
     """
     import jax
 
+    if jax.default_backend() != "tpu":
+        return 0.0
     mod = getattr(model, "module", None)
-    if (
-        mod is None
-        or not all(hasattr(mod, a) for a in ("depth", "dim", "target_length"))
-        or jax.default_backend() != "tpu"
-    ):
+    from avex_tpu.models.aves import CONV_LAYERS, AVESModel
+
+    if isinstance(mod, AVESModel):
+        t = n_samples
+        for _ch, k, s in CONV_LAYERS:  # conv framing: T after the extractor
+            t = (t - k) // s + 1
+        if t < 248:
+            return 0.0
+        cfg = mod.cfg
+        return 4.0 * batch * t * t * cfg.encoder_embed_dim * cfg.encoder_num_layers
+    if mod is None or not all(hasattr(mod, a) for a in ("depth", "dim", "target_length")):
         return 0.0
     t = (int(mod.target_length) // 16) * (128 // 16) + 1  # grid + CLS
     if t < 384:

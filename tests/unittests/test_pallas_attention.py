@@ -129,9 +129,10 @@ def test_bias_free_gradients_match_xla(rng):
 
 
 def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
-    """EAT/Bird-MAE blocks auto-enable the fused-QKV kernel on TPU at T>=384
+    """EAT/Bird-MAE blocks auto-enable the fused-QKV kernel on TPU at T>=248
     (round 5: the Pallas path consumes the raw [B, T, 3E] gemm output — the
-    split/transpose lives inside the kernel boundary)."""
+    split/transpose lives inside the kernel boundary; the 248 threshold is
+    the measured in-model crossover, scripts/bench_fused_qkv_ab.py)."""
     import avex_tpu.ops.pallas_attention as pa
     from avex_tpu.models.eat import _Block
 
@@ -155,7 +156,7 @@ def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
     block.apply(variables, x)
     assert calls == []
 
-    # Fake TPU backend: fused-QKV kernel at T>=384, fed the RAW 3E tensor...
+    # Fake TPU backend: fused-QKV kernel at T>=248, fed the RAW 3E tensor...
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     out_pallas, _ = block.apply(variables, x)
     assert calls == [(b, t, 3 * e)]
@@ -169,7 +170,7 @@ def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
 
     # Below the crossover the fake TPU keeps XLA too.
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
-    short = x[:, :256]
+    short = x[:, :192]
     block.apply(block.init(jax.random.PRNGKey(0), short), short)
     assert len(calls) == 1
 
@@ -411,3 +412,43 @@ def test_eat_block_pallas_path_uses_fused_qkv(rng, monkeypatch):
     out, out_proj = pallas_block.apply(variables, spec)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out_proj), np.asarray(ref_proj), atol=2e-5, rtol=1e-4)
+
+
+def test_atst_block_pallas_path_uses_fused_qkv(rng):
+    """ATST's ViT block routes the raw QKV gemm output through the fused
+    kernel when forced (round 5; auto fires on TPU at T>=248 — measured +17%
+    at the 10 s T=250, 0.92x at the 5 s T=125)."""
+    from avex_tpu.models.atst import _Block
+
+    tokens = jnp.asarray(rng.standard_normal((2, 9, 32)).astype(np.float32))
+    xla_block = _Block(dim=32, heads=4, use_pallas=False)
+    variables = xla_block.init(jax.random.PRNGKey(0), tokens)
+    ref = xla_block.apply(variables, tokens)
+    out = _Block(dim=32, heads=4, use_pallas=True).apply(variables, tokens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_aves_layer_pallas_path_uses_fused_qkv(rng):
+    """AVES' post-norm layer concatenates q/k/v into ONE [E, 3E] gemm on the
+    Pallas path (round 5, measured +7% in-model at T=249) and matches the
+    split path — including the key-padding mask plumbed into the kernel."""
+    from avex_tpu.models.aves import AVESConfig, _EncoderLayer
+
+    cfg = AVESConfig(
+        dict(
+            encoder_embed_dim=32,
+            encoder_num_heads=4,
+            encoder_ff_interm_features=64,
+            encoder_dropout=0.0,
+            encoder_attention_dropout=0.0,
+            encoder_ff_interm_dropout=0.0,
+        )
+    )
+    x = jnp.asarray(rng.standard_normal((2, 9, 32)).astype(np.float32))
+    mask = jnp.zeros((2, 9), bool).at[1, 6:].set(True)
+    xla_layer = _EncoderLayer(cfg=cfg, use_pallas=False)
+    variables = xla_layer.init(jax.random.PRNGKey(0), x, mask)
+    ref, ref_ff = xla_layer.apply(variables, x, mask)
+    out, out_ff = _EncoderLayer(cfg=cfg, use_pallas=True).apply(variables, x, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_ff), np.asarray(ref_ff), atol=2e-5, rtol=1e-4)
