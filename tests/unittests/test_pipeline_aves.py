@@ -44,8 +44,10 @@ _TINY = {
 def aves_scan():
     """Unrolled init + outputs, restacked scan variables + outputs."""
     rng = np.random.default_rng(42)
-    wav = jnp.asarray(rng.standard_normal((8, 8000)).astype(np.float32) * 0.1)
-    mask = jnp.zeros((8, 8000), bool).at[5:, 6000:].set(True)
+    # Small on purpose: the fixed 512-ch conv extractor dominates CPU cost,
+    # and the layouts under test only need a few frames (T=11 after conv).
+    wav = jnp.asarray(rng.standard_normal((8, 4000)).astype(np.float32) * 0.1)
+    mask = jnp.zeros((8, 4000), bool).at[5:, 3000:].set(True)
     cfg = AVESConfig(dict(_TINY))
     unrolled = AVESModel(cfg=cfg)
     v = jax.jit(unrolled.init)(jax.random.PRNGKey(0), wav[:2])
