@@ -137,8 +137,8 @@ class _GatedRelPosAttention(nn.Module):
     #: AVEX_BENCH_CLIP_S=10 AVEX_ABLATE=xlaattn,full,fusedpallas
     #: scripts/bench_ablation.py; docs/architecture.md). XLA's schedule
     #: overlaps the gate/bias streams with other layers' projections, which a
-    #: single-kernel grid cannot. The bias-FREE ViT cells (EAT/Bird-MAE) are
-    #: where the kernel wins — they keep their own T>=384 auto policy.
+    #: single-kernel grid cannot. The bias-FREE cells (EAT/Bird-MAE/ATST/
+    #: AVES) are where the kernel wins — they auto-enable at T>=248.
     #: Explicit True forces the kernel (split input, or the fused-QKV
     #: boundary when fused_qkv=True and shapes tile).
     use_pallas: Optional[bool] = None

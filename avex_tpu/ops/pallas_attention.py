@@ -64,9 +64,12 @@ quadratically growing [B,H,T,T] logits/softmax HBM streams dominate and the
 in-VMEM chain wins by 15-35% *in isolation* — but the round-5 IN-MODEL
 measurements split the verdict by attention flavour:
 
-- **bias-free ViT cells (EAT / Bird-MAE)**: the fused-QKV boundary variant
-  (``fused_qkv_attention``) wins +49% end-to-end at T=513, so those models
-  auto-enable it for real-TPU traces at T >= 384 (``models/eat.py``).
+- **bias-free cells (EAT / Bird-MAE / ATST / AVES)**: the fused-QKV
+  boundary variant (``fused_qkv_attention``) wins +49% end-to-end at T=513,
+  +17% at T=250 (ATST 10 s), +7% at T=249 (AVES) and loses at T=125 (ATST
+  5 s, 0.92x) — those models auto-enable it for real-TPU traces at
+  T >= 248, the measured in-model crossover
+  (``scripts/bench_fused_qkv_ab.py``).
 - **gated-bias cells (BEATs)**: XLA wins in-model at EVERY measured length —
   full BEATs bf16 B=128 on v5e: T=248 XLA 1,822 clips/s vs 1,482 fused-QKV
   gated kernel; T=496 XLA 753 vs 688 fused vs 588 split-input (the round-4
