@@ -115,10 +115,11 @@ class _EncoderLayer(nn.Module):
     #: projections concatenate into ONE [E, 3E] gemm (weight concat is ~3.5 MB
     #: of HBM traffic per layer — free) and the split/transpose + head-merge
     #: become BlockSpec views inside the kernel. None = auto: on for real-TPU
-    #: traces at T >= 248 — measured +7% in-model at AVES' native 5 s T=249
-    #: (1,156 vs 1,080 clips/s, B=128 bf16 v5e, scripts/bench_fused_qkv_ab.py);
-    #: the same cell loses at T=125 (ATST, 0.92x), so the bias-free fused
-    #: boundary's crossover sits between.
+    #: INFERENCE traces (deterministic=True) at T >= 248 — measured +7%
+    #: in-model at AVES' native 5 s T=249 (1,156 vs 1,080 clips/s, B=128
+    #: bf16 v5e, scripts/bench_fused_qkv_ab.py); the same cell loses at
+    #: T=125 (ATST, 0.92x) and in training (custom_vjp recompute-backward:
+    #: a measured 24% EAT train regression), so training traces keep XLA.
     use_pallas: Optional[bool] = None
     #: ring attention over this mesh's model axis (ops/ring_attention.py) —
     #: long-window inference: the [B,H,T,T] score matrix never materializes.
@@ -139,7 +140,9 @@ class _EncoderLayer(nn.Module):
         ring = self.ring_mesh
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = seq >= 248 and jax.default_backend() == "tpu"
+            use_pallas = (
+                deterministic and seq >= 248 and jax.default_backend() == "tpu"
+            )
         from avex_tpu.ops.pallas_attention import fused_qkv_compatible
 
         dt = self.dtype

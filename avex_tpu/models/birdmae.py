@@ -55,6 +55,8 @@ class BirdMAEModel(nn.Module):
     layer_runner: Optional[Callable] = None
     #: ring-attention mesh for long windows (see models/eat.py _Block).
     ring_mesh: Any = None
+    #: fused-QKV Pallas attention override (models/eat.py _Block; None=auto).
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(

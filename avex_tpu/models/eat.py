@@ -65,11 +65,14 @@ class _Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     #: fused Pallas attention (bias-free cell of ops/pallas_attention.py).
-    #: None = auto: on for real-TPU traces at T >= 248 — the fused-QKV
-    #: boundary's measured in-model crossover (round 5, v5e bf16 B=128:
-    #: +49% at EAT's native T=513, +17% at T=250 on the identical ATST
-    #: block, +7% at T=249 on AVES, 0.92x at T=125 —
-    #: scripts/bench_fused_qkv_ab.py).
+    #: None = auto: on for real-TPU INFERENCE traces (deterministic=True) at
+    #: T >= 248 — the fused-QKV boundary's measured in-model crossover
+    #: (round 5, v5e bf16 B=128: +49% at EAT's native T=513, +17% at T=250
+    #: on the identical ATST block, +7% at T=249 on AVES, 0.92x at T=125 —
+    #: scripts/bench_fused_qkv_ab.py). TRAINING traces keep XLA: the
+    #: kernel's custom_vjp recomputes attention in the backward, measured a
+    #: 24% EAT train-step regression (237 -> 181 clips/s at B=64); XLA's
+    #: saved-intermediates backward wins. Explicit True still forces it.
     use_pallas: Optional[bool] = None
     #: ring attention over this mesh's model axis (ops/ring_attention.py) —
     #: long-window inference: the [B,H,T,T] score matrix never materializes.
@@ -86,7 +89,9 @@ class _Block(nn.Module):
         ring = self.ring_mesh
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = seq >= 248 and jax.default_backend() == "tpu"
+            use_pallas = (
+                deterministic and seq >= 248 and jax.default_backend() == "tpu"
+            )
         from avex_tpu.ops.pallas_attention import fused_qkv_compatible
 
         if ring is None and use_pallas and fused_qkv_compatible(dim, self.heads):
@@ -174,13 +179,15 @@ def apply_vit_blocks(
     scan = bool(getattr(mod, "scan_layers", False))
     runner = getattr(mod, "layer_runner", None)
     ring_mesh = getattr(mod, "ring_mesh", None)
+    use_pallas = getattr(mod, "use_pallas", None)
     intermediates: Dict[str, jnp.ndarray] = {}
 
     if runner is not None and scan and not mod.is_initializing():
         # parent=None: free-standing functional twin of the scanned block
         # (constructing it inside the compact method would auto-register it
         # as a child and forbid .apply on it).
-        block = _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh, parent=None)
+        block = _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh,
+                       use_pallas=use_pallas, parent=None)
 
         def layer_fn(p, h):
             new_h, _proj = block.apply({"params": p}, h, True)
@@ -199,13 +206,15 @@ def apply_vit_blocks(
             length=depth,
         )
         tokens, proj_stack = scanned(
-            _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh, name="blocks"), tokens, None
+            _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh,
+                   use_pallas=use_pallas, name="blocks"), tokens, None
         )
         for i in range(depth):
             intermediates[f"{key_prefix}{i}.attn.proj"] = proj_stack[i]
     else:
         for i in range(depth):
-            block = _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh, name=f"blocks_{i}")
+            block = _Block(dim=dim, heads=heads, dtype=dtype, ring_mesh=ring_mesh,
+                           use_pallas=use_pallas, name=f"blocks_{i}")
             tokens, proj_out = block(tokens, deterministic)
             intermediates[f"{key_prefix}{i}.attn.proj"] = proj_out
     return tokens, intermediates
@@ -235,6 +244,8 @@ class EATModel(nn.Module):
     layer_runner: Optional[Callable] = None
     #: ring-attention mesh for long windows (see _Block.ring_mesh).
     ring_mesh: Any = None
+    #: fused-QKV Pallas attention override (see _Block.use_pallas; None=auto).
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(

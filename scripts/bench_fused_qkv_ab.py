@@ -69,6 +69,63 @@ def measure(tag: str, build, batch: int = 128, iters: int = 8) -> float:
     return cps
 
 
+def measure_train(tag: str, module, batch: int, iters: int = 4) -> float:
+    """Full AdamW train-step throughput (value_and_grad + update, scan over
+    pre-staged batches). The fused kernel's custom_vjp RECOMPUTES attention
+    through the jnp path in the backward, so the training verdict can differ
+    from inference — this measures it end-to-end."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    samples = int(float(os.environ.get("AVEX_AB_CLIP_S", "5")) * 16000)
+    rng = np.random.default_rng(0)
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, samples), jnp.float32)
+    )
+    params = variables["params"]
+    tx = optax.adamw(1e-4)
+    opt_state = tx.init(params)
+    wavs = jnp.asarray(
+        (rng.standard_normal((iters, batch, samples)) * 0.1).astype(np.float32)
+    )
+    labels = jnp.asarray(rng.integers(0, 10, (iters, batch)))
+
+    def loss_fn(params, wav, y):
+        logits, _ = module.apply({"params": params}, wav)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            logits.astype(jnp.float32), y
+        ).mean()
+
+    def step(carry, xy):
+        params, opt_state = carry
+        wav, y = xy
+        loss, grads = jax.value_and_grad(loss_fn)(params, wav, y)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), loss
+
+    def run(params, opt_state, wavs, labels):
+        _, losses = jax.lax.scan(step, (params, opt_state), (wavs, labels))
+        return losses[-1]
+
+    compiled = jax.jit(run).lower(params, opt_state, wavs, labels).compile()
+    float(compiled(params, opt_state, wavs, labels))  # warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(compiled(params, opt_state, wavs, labels))
+        best = min(best, time.perf_counter() - t0)
+    cps = batch * iters / best
+    print(
+        json.dumps(
+            {"variant": tag, "train_clips_per_sec": round(cps, 1),
+             "ms_per_step": round(1e3 * best / iters, 2), "batch": batch}
+        ),
+        flush=True,
+    )
+    return cps
+
+
 def main() -> None:
     wanted = sys.argv[1:] or ["atst", "aves"]
     if "atst" in wanted:
@@ -92,6 +149,17 @@ def main() -> None:
                     return_features_only=True, compute_dtype="bfloat16",
                     use_pallas=flag,
                 ),
+            )
+    if "eat-train" in wanted:
+        import jax.numpy as jnp
+
+        from avex_tpu.models.eat import EATModel
+
+        for flag in (False, True):
+            measure_train(
+                f"eat_train_pallas={flag}",
+                EATModel(num_classes=10, dtype=jnp.bfloat16, use_pallas=flag),
+                batch=int(os.environ.get("AVEX_AB_TRAIN_BATCH", "64")),
             )
 
 

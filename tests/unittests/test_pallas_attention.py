@@ -174,6 +174,12 @@ def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
     block.apply(block.init(jax.random.PRNGKey(0), short), short)
     assert len(calls) == 1
 
+    # Training traces (deterministic=False) keep XLA at ANY length: the
+    # kernel's custom_vjp recompute-backward measured a 24% EAT train-step
+    # regression (scripts/bench_fused_qkv_ab.py eat-train).
+    block.apply(variables, x, False)
+    assert len(calls) == 1
+
 
 @pytest.mark.slow
 def test_beats_use_pallas_end_to_end(rng):
