@@ -57,12 +57,12 @@ class _Block(nn.Module):
     qkv_bias: bool = False
     dtype: Any = jnp.float32
     #: fused-QKV Pallas attention (ops/pallas_attention.py). None = auto: on
-    #: for real-TPU INFERENCE traces (deterministic=True) at T >= 248 (the
-    #: measured in-model crossover of the bias-free fused boundary) — fires
-    #: for 10 s windows (T=250, measured +17%: 2,108 vs 1,795 clips/s,
-    #: B=128 bf16 v5e) and stays XLA at the 5 s T=125 (measured 0.92x) and
-    #: in training (the custom_vjp recompute-backward measured a 24% EAT
-    #: train regression) — scripts/bench_fused_qkv_ab.py.
+    #: for real-TPU traces at T >= 248 (the measured in-model crossover of
+    #: the bias-free fused boundary) — fires for 10 s windows (T=250,
+    #: measured +17%: 2,108 vs 1,795 clips/s, B=128 bf16 v5e) and stays XLA
+    #: at the 5 s T=125 (measured 0.92x); training routes the VMEM backward
+    #: kernel (EAT step +44% at T=513, neutral at T=249) —
+    #: scripts/bench_fused_qkv_ab.py.
     use_pallas: Optional[bool] = None
 
     @nn.compact
@@ -73,9 +73,7 @@ class _Block(nn.Module):
         qkv = nn.Dense(3 * dim, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(h)
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = (
-                deterministic and seq >= 248 and jax.default_backend() == "tpu"
-            )
+            use_pallas = seq >= 248 and jax.default_backend() == "tpu"
         from avex_tpu.ops.pallas_attention import fused_qkv_compatible
 
         if use_pallas and fused_qkv_compatible(dim, self.heads):

@@ -115,11 +115,11 @@ class _EncoderLayer(nn.Module):
     #: projections concatenate into ONE [E, 3E] gemm (weight concat is ~3.5 MB
     #: of HBM traffic per layer — free) and the split/transpose + head-merge
     #: become BlockSpec views inside the kernel. None = auto: on for real-TPU
-    #: INFERENCE traces (deterministic=True) at T >= 248 — measured +7%
-    #: in-model at AVES' native 5 s T=249 (1,156 vs 1,080 clips/s, B=128
-    #: bf16 v5e, scripts/bench_fused_qkv_ab.py); the same cell loses at
-    #: T=125 (ATST, 0.92x) and in training (custom_vjp recompute-backward:
-    #: a measured 24% EAT train regression), so training traces keep XLA.
+    #: traces at T >= 248 — measured +7% in-model at AVES' native 5 s T=249
+    #: (1,156 vs 1,080 clips/s, B=128 bf16 v5e); the same cell loses at
+    #: T=125 (ATST, 0.92x). Training routes the VMEM backward kernel:
+    #: measured neutral at T=249 (406 vs 407 clips/s AdamW B=64) and +44%
+    #: at T=513 (EAT) — scripts/bench_fused_qkv_ab.py.
     use_pallas: Optional[bool] = None
     #: ring attention over this mesh's model axis (ops/ring_attention.py) —
     #: long-window inference: the [B,H,T,T] score matrix never materializes.
@@ -140,9 +140,7 @@ class _EncoderLayer(nn.Module):
         ring = self.ring_mesh
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = (
-                deterministic and seq >= 248 and jax.default_backend() == "tpu"
-            )
+            use_pallas = seq >= 248 and jax.default_backend() == "tpu"
         from avex_tpu.ops.pallas_attention import fused_qkv_compatible
 
         dt = self.dtype

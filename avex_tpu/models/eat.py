@@ -65,14 +65,13 @@ class _Block(nn.Module):
     mlp_ratio: float = 4.0
     dtype: Any = jnp.float32
     #: fused Pallas attention (bias-free cell of ops/pallas_attention.py).
-    #: None = auto: on for real-TPU INFERENCE traces (deterministic=True) at
-    #: T >= 248 — the fused-QKV boundary's measured in-model crossover
-    #: (round 5, v5e bf16 B=128: +49% at EAT's native T=513, +17% at T=250
-    #: on the identical ATST block, +7% at T=249 on AVES, 0.92x at T=125 —
-    #: scripts/bench_fused_qkv_ab.py). TRAINING traces keep XLA: the
-    #: kernel's custom_vjp recomputes attention in the backward, measured a
-    #: 24% EAT train-step regression (237 -> 181 clips/s at B=64); XLA's
-    #: saved-intermediates backward wins. Explicit True still forces it.
+    #: None = auto: on for real-TPU traces at T >= 248 — the fused-QKV
+    #: boundary's measured in-model crossover (round 5, v5e bf16 B=128:
+    #: inference +49% at EAT's native T=513, +17% at T=250 on the identical
+    #: ATST block, +7% at T=249 on AVES, 0.92x at T=125). Training routes
+    #: the VMEM backward kernel (P recomputed in-register, dq/dk/dv with no
+    #: [T,T] HBM traffic): full EAT AdamW step +44% at T=513 (341 vs 237
+    #: clips/s B=64), neutral at AVES' T=249 — scripts/bench_fused_qkv_ab.py.
     use_pallas: Optional[bool] = None
     #: ring attention over this mesh's model axis (ops/ring_attention.py) —
     #: long-window inference: the [B,H,T,T] score matrix never materializes.
@@ -89,9 +88,7 @@ class _Block(nn.Module):
         ring = self.ring_mesh
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = (
-                deterministic and seq >= 248 and jax.default_backend() == "tpu"
-            )
+            use_pallas = seq >= 248 and jax.default_backend() == "tpu"
         from avex_tpu.ops.pallas_attention import fused_qkv_compatible
 
         if ring is None and use_pallas and fused_qkv_compatible(dim, self.heads):

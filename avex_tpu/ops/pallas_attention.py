@@ -28,10 +28,19 @@ v3 design notes (what the 0.66x round-2 version got wrong):
   for the PV matmul — numerically at least as accurate as the XLA
   ``fast_attention`` path (which runs the whole logits chain in bf16).
 
-The wrapper is differentiable: a ``custom_vjp`` recomputes the backward
-through the mathematically identical jnp formulation, so ``use_pallas``
-composes with training (the forward savings are what the inference
-benchmark buys; the backward is the standard XLA path).
+The wrappers are differentiable. The split-input and gated variants use a
+``custom_vjp`` that recomputes the backward through the mathematically
+identical jnp formulation (the standard XLA path). The fused-QKV bias-free
+variant got its own **VMEM backward kernel** in round 5b
+(``_fused_qkv_bwd_kernel``): the jnp recompute backward measured a 24%
+EAT train-step REGRESSION (the recomputed ``[B,H,T,T]`` P and its
+cotangents stream through HBM — XLA's own autodiff at least *saves* P),
+while the flash-style cell — P recomputed in-register, then
+``dV = Pᵀ dO, dP = dO Vᵀ, dS = P∘(dP−Δ), dQ = dS K, dK = dSᵀ Q`` as five
+MXU passes with zero ``[T,T]`` HBM traffic — flips a full EAT AdamW step
+to **+44% vs XLA** (341 vs 237 clips/s, B=64/T=513; neutral at T=249;
+on-chip bf16 grad parity 3.8e-3; ``AVEX_FUSED_BWD_XLA=1`` restores the
+jnp backward).
 
 Measured crossover on v5e (rounds 3-4, bf16, H=12/D=64, constant B*T,
 ``scripts/bench_attention.py --dtype bfloat16``; "flash" is JAX's stock TPU
@@ -503,6 +512,125 @@ def _fused_qkv_forward(qkv, heads, key_padding_mask, scale, interpret, block_b):
     )(qkv, qkv, qkv, pad_bias)
 
 
+def _fused_qkv_bwd_kernel(
+    qkv_q_ref, qkv_k_ref, qkv_v_ref, dout_ref, pad_ref,
+    dq_ref, dk_ref, dv_ref, *, scale, head_dim
+):
+    """Flash-style backward cell over the raw fused-QKV layout.
+
+    The jnp recompute backward streams the recomputed ``[B,H,T,T]`` P and
+    its cotangents through HBM — measured a 24% EAT train-step regression
+    vs plain XLA (which at least *saves* P instead of re-streaming it).
+    This cell keeps the whole backward chain in VMEM: P is recomputed
+    in-register from the qkv views (one extra QK^T — FLOPs are cheap, HBM
+    is not), then
+
+        dV = Pᵀ·dO,  dP = dO·Vᵀ,  Δ = rowsum(P ∘ dP),
+        dS = P ∘ (dP − Δ) · scale,  dQ = dS·K,  dK = dSᵀ·Q
+
+    run as five MXU passes per (item, head) with no ``[T, T]`` HBM traffic.
+    Outputs are the three column groups of ``dqkv`` (q|k|v layout), written
+    as separate arrays and concatenated in HLO (one linear pass — the
+    quadratic streams are what mattered).
+    """
+    nb = qkv_q_ref.shape[0]
+    width = qkv_q_ref.shape[-1]
+    heads_per_block = width // head_dim
+    for i in range(nb):  # static unroll over batch items
+        for j in range(heads_per_block):  # and over the head group
+            sl = slice(j * head_dim, (j + 1) * head_dim)
+            q = qkv_q_ref[i, :, sl]  # [T, dh] compute dtype
+            k = qkv_k_ref[i, :, sl]
+            v = qkv_v_ref[i, :, sl]
+            do = dout_ref[i, :, sl]
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * scale + pad_ref[i].astype(jnp.float32)  # [T, T]
+            p32 = jax.nn.softmax(logits, axis=-1)
+            p = p32.astype(v.dtype)
+            # dV = P^T dO  (contract over queries)
+            dv = jax.lax.dot_general(
+                p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dP = dO V^T
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(p32 * dp, axis=-1, keepdims=True)  # [T, 1]
+            ds = (p32 * (dp - delta) * scale).astype(q.dtype)  # [T, T]
+            dq = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dK = dS^T Q (contract over queries)
+            dk = jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[i, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[i, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[i, :, sl] = dv.astype(dv_ref.dtype)
+
+
+def _fused_qkv_backward(qkv, dout, heads, key_padding_mask, scale, interpret, block_b):
+    """dqkv for :func:`_fused_qkv_forward` via the VMEM backward kernel."""
+    bsz, seq, three_e = qkv.shape
+    dim = three_e // 3
+    head_dim = dim // heads
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hb = _heads_per_block(heads, head_dim)
+    if hb == 0:
+        if not interpret:
+            raise ValueError(
+                f"fused_qkv_attention backward: head_dim {head_dim} x heads "
+                f"{heads} does not tile to 128 lanes"
+            )
+        hb = 1
+    while bsz % block_b:
+        block_b //= 2
+    nb = max(block_b, 1)
+    width = hb * head_dim
+    groups = heads // hb
+
+    if key_padding_mask is not None:
+        pad_bias = jnp.where(key_padding_mask, -jnp.inf, 0.0).astype(jnp.float32)[:, None, :]
+    else:
+        pad_bias = jnp.zeros((bsz, 1, seq), jnp.float32)
+
+    grid = (groups, bsz // nb)
+    # The backward cell carries ~4 [T, T] fp32 temporaries on top of the
+    # 7 in/out views — past Mosaic's 16 MB default well before the forward
+    # does; the limit is a check, not an allocation.
+    compiler_params = None
+    if seq > 128:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+    def _slice_spec(part):
+        return pl.BlockSpec(
+            (nb, seq, width),
+            lambda g, b, part=part: (b, 0, part * groups + g),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_view = pl.BlockSpec((nb, seq, width), lambda g, b: (b, 0, g), memory_space=pltpu.VMEM)
+    pad_spec = pl.BlockSpec((nb, 1, seq), lambda g, b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_fused_qkv_bwd_kernel, scale=scale, head_dim=head_dim),
+        grid=grid,
+        in_specs=[_slice_spec(0), _slice_spec(1), _slice_spec(2), out_view, pad_spec],
+        out_specs=[out_view, out_view, out_view],
+        out_shape=[jax.ShapeDtypeStruct((bsz, seq, dim), qkv.dtype)] * 3,
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(qkv, qkv, qkv, dout, pad_bias)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 3, 4, 5))
 def _fused_qkv_attention(qkv, heads, key_padding_mask, scale, interpret, block_b):
     return _fused_qkv_forward(qkv, heads, key_padding_mask, scale, interpret, block_b)
@@ -513,14 +641,21 @@ def _fused_qkv_fwd(qkv, heads, key_padding_mask, scale, interpret, block_b):
     return out, (qkv, key_padding_mask)
 
 
-def _fused_qkv_bwd(heads, scale, _interpret, _block_b, residuals, g):
+def _fused_qkv_bwd(heads, scale, interpret, block_b, residuals, g):
     qkv, key_padding_mask = residuals
+    import os
 
-    def ref(qkv):
-        return _fused_qkv_reference(qkv, heads, key_padding_mask, scale)
+    if os.environ.get("AVEX_FUSED_BWD_XLA") == "1":
+        # Escape hatch: the pre-round-5b jnp recompute backward (XLA path).
+        def ref(qkv):
+            return _fused_qkv_reference(qkv, heads, key_padding_mask, scale)
 
-    _, vjp = jax.vjp(ref, qkv)
-    (dqkv,) = vjp(g)
+        _, vjp = jax.vjp(ref, qkv)
+        (dqkv,) = vjp(g)
+    else:
+        dqkv = _fused_qkv_backward(
+            qkv, g, heads, key_padding_mask, scale, interpret, block_b
+        )
     dmask = (
         None
         if key_padding_mask is None

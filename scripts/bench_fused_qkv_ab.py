@@ -150,6 +150,40 @@ def main() -> None:
                     use_pallas=flag,
                 ),
             )
+    if "grad-check" in wanted:
+        # On-chip numerics: Mosaic backward kernel vs the jnp recompute
+        # backward (AVEX_FUSED_BWD_XLA env), EAT shape, bf16.
+        import jax
+        import jax.numpy as jnp
+
+        from avex_tpu.ops.pallas_attention import fused_qkv_attention
+
+        b, seq, heads, dh = 4, 513, 12, 64  # B=4: fresh program hash if the
+        # tunnel's compile proxy wedged a killed run's entry (CLAUDE.md)
+        rng = np.random.default_rng(0)
+        qkv = jnp.asarray(
+            (rng.standard_normal((b, seq, 3 * heads * dh)) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        w = jnp.asarray(
+            (rng.standard_normal((b, seq, heads * dh)) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+        def loss(x):
+            return (fused_qkv_attention(x, heads=heads).astype(jnp.float32) * w).sum()
+
+        g_kernel = jax.jit(jax.grad(loss))(qkv).astype(jnp.float32)
+        os.environ["AVEX_FUSED_BWD_XLA"] = "1"
+        g_ref = jax.jit(jax.grad(loss))(qkv).astype(jnp.float32)
+        del os.environ["AVEX_FUSED_BWD_XLA"]
+        num = float(jnp.max(jnp.abs(g_kernel - g_ref)))
+        den = float(jnp.max(jnp.abs(g_ref)))
+        print(
+            json.dumps(
+                {"variant": "grad_check_T513_bf16", "max_abs_diff": num,
+                 "ref_max_abs": den, "rel": num / max(den, 1e-30)}
+            ),
+            flush=True,
+        )
     if "eat-train" in wanted:
         import jax.numpy as jnp
 
@@ -159,6 +193,28 @@ def main() -> None:
             measure_train(
                 f"eat_train_pallas={flag}",
                 EATModel(num_classes=10, dtype=jnp.bfloat16, use_pallas=flag),
+                batch=int(os.environ.get("AVEX_AB_TRAIN_BATCH", "64")),
+            )
+    if "aves-train" in wanted:
+        import jax.numpy as jnp
+
+        from avex_tpu.models.aves import AVESConfig, AVESModel
+
+        cfg = AVESConfig(
+            dict(
+                encoder_dropout=0.0,
+                encoder_attention_dropout=0.0,
+                encoder_ff_interm_dropout=0.0,
+                encoder_projection_dropout=0.0,
+                encoder_layer_drop=0.0,
+            )
+        )
+        for flag in (False, True):
+            measure_train(
+                f"aves_train_pallas={flag}",
+                AVESModel(
+                    cfg=cfg, num_classes=10, dtype=jnp.bfloat16, use_pallas=flag
+                ),
                 batch=int(os.environ.get("AVEX_AB_TRAIN_BATCH", "64")),
             )
 

@@ -174,11 +174,11 @@ def test_eat_block_use_pallas_auto_policy(rng, monkeypatch):
     block.apply(block.init(jax.random.PRNGKey(0), short), short)
     assert len(calls) == 1
 
-    # Training traces (deterministic=False) keep XLA at ANY length: the
-    # kernel's custom_vjp recompute-backward measured a 24% EAT train-step
-    # regression (scripts/bench_fused_qkv_ab.py eat-train).
+    # Training traces route the kernel too (round 5b): the VMEM backward
+    # kernel measured a full EAT AdamW step at +44% vs XLA autodiff
+    # (scripts/bench_fused_qkv_ab.py eat-train).
     block.apply(variables, x, False)
-    assert len(calls) == 1
+    assert len(calls) == 2
 
 
 @pytest.mark.slow
@@ -458,3 +458,31 @@ def test_aves_layer_pallas_path_uses_fused_qkv(rng):
     out, out_ff = _EncoderLayer(cfg=cfg, use_pallas=True).apply(variables, x, mask)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(out_ff), np.asarray(ref_ff), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_qkv_backward_kernel_mask_and_groups(rng):
+    """The round-5b VMEM backward kernel (dq/dk/dv in one grid, P recomputed
+    in-register) matches XLA autodiff with a padding mask, multiple head
+    groups, and a non-uniform cotangent."""
+    from avex_tpu.ops.pallas_attention import fused_qkv_attention
+
+    b, seq, heads, dh = 4, 24, 4, 16
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+    pad = jnp.zeros((b, seq), bool).at[2:, 18:].set(True)
+    w = jnp.asarray(rng.standard_normal((b, seq, heads * dh)).astype(np.float32))
+
+    def loss_kernel(x):
+        out = fused_qkv_attention(x, heads=heads, key_padding_mask=pad, interpret=True)
+        return (out * w).sum()
+
+    def loss_ref(x):
+        return (_fused_ref(x, heads, pad=pad) * w).sum()
+
+    g_kernel = jax.grad(loss_kernel)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    # padded-query rows produce garbage in both paths (softmax over -inf);
+    # compare the valid rows.
+    valid = ~np.asarray(pad)
+    np.testing.assert_allclose(
+        np.asarray(g_kernel)[valid], np.asarray(g_ref)[valid], atol=2e-5, rtol=1e-4
+    )
