@@ -439,21 +439,25 @@ def _fused_qkv_reference(qkv, heads, key_padding_mask, scale):
 
 def _heads_per_block(heads: int, head_dim: int) -> int:
     """Adjacent heads per grid cell so the column block is a 128-lane
-    multiple (Mosaic's last-dim constraint). 0 = incompatible shape."""
-    if head_dim >= 128:
-        return 1 if head_dim % 128 == 0 else 0
-    if 128 % head_dim:
+    multiple (Mosaic's last-dim constraint). 0 = incompatible shape.
+
+    The smallest ``hb`` with ``hb·head_dim % 128 == 0`` is
+    ``lcm(head_dim, 128) / head_dim``; the head count must tile into those
+    groups. dh=64 → hb=2 (ViT-base), dh=80 → hb=8 (Bird-MAE huge: 640-lane
+    blocks, head slices land at 80-element offsets inside the block —
+    Mosaic relayouts them in-register)."""
+    if head_dim <= 0:
         return 0
-    hb = 128 // head_dim
+    hb = math.lcm(head_dim, 128) // head_dim
     return hb if heads % hb == 0 else 0
 
 
 def fused_qkv_compatible(dim: int, heads: int) -> bool:
     """True when ``fused_qkv_attention`` can lower for these shapes on a
-    real TPU (head groups tile to 128 lanes). ViT-base (dh=64) and any
-    dh ∈ {16, 32, 64, 128·k} with a dividing head count qualify; e.g.
-    Bird-MAE huge (dh=80) does not — callers fall back to the split-input
-    kernel there."""
+    real TPU (head groups tile to a 128-lane multiple). ViT-base (dh=64,
+    2-head groups) and Bird-MAE huge (dh=80, 8-head groups) both qualify;
+    a head count that doesn't divide into lcm-groups (e.g. 12 heads of
+    dh=80) falls back to the split-input kernel."""
     head_dim = dim // heads
     return _heads_per_block(heads, head_dim) > 0
 

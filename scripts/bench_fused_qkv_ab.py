@@ -69,6 +69,48 @@ def measure(tag: str, build, batch: int = 128, iters: int = 8) -> float:
     return cps
 
 
+def measure_module(tag: str, module, batch: int, n_samples: int, iters: int = 4) -> float:
+    """Forward-only throughput for a bare flax module (raw waveform in)."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, n_samples), jnp.float32)
+    )
+
+    def fn(v, wav):
+        out, _ = module.apply(v, wav)
+        return out.astype(jnp.float32).mean()
+
+    def scan_forward(v, batches):
+        def body(carry, x):
+            return carry + fn(v, x), None
+
+        total, _ = jax.lax.scan(body, jnp.float32(0), batches)
+        return total
+
+    stacked = jnp.asarray(
+        (rng.standard_normal((iters, batch, n_samples)) * 0.1).astype(np.float32)
+    )
+    compiled = jax.jit(scan_forward).lower(variables, stacked).compile()
+    float(compiled(variables, stacked))  # warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(compiled(variables, stacked))
+        best = min(best, time.perf_counter() - t0)
+    cps = batch * iters / best
+    print(
+        json.dumps(
+            {"variant": tag, "clips_per_sec": round(cps, 1),
+             "ms_per_batch": round(1e3 * best / iters, 2), "batch": batch}
+        ),
+        flush=True,
+    )
+    return cps
+
+
 def measure_train(tag: str, module, batch: int, iters: int = 4) -> float:
     """Full AdamW train-step throughput (value_and_grad + update, scan over
     pre-staged batches). The fused kernel's custom_vjp RECOMPUTES attention
@@ -193,6 +235,51 @@ def main() -> None:
             measure_train(
                 f"eat_train_pallas={flag}",
                 EATModel(num_classes=10, dtype=jnp.bfloat16, use_pallas=flag),
+                batch=int(os.environ.get("AVEX_AB_TRAIN_BATCH", "64")),
+            )
+    if "birdmae-huge" in wanted:
+        # dh=80: the lcm head-grouping (8-head / 640-lane blocks) — does the
+        # unaligned in-block head slicing lower and win on real Mosaic?
+        import jax.numpy as jnp
+
+        from avex_tpu.models.birdmae import BirdMAEModel
+
+        for flag in (False, True):
+            # scan_layers: one traced block instead of 32 unrolled — the
+            # unrolled compile exceeds the tunnel budget; scan costs ~6%
+            # uniformly (measured on BEATs) so the A/B ratio stays fair.
+            measure_module(
+                f"birdmae_huge_pallas={flag}",
+                BirdMAEModel(dtype=jnp.bfloat16, use_pallas=flag, scan_layers=True),
+                batch=int(os.environ.get("AVEX_AB_HUGE_BATCH", "16")),
+                n_samples=5 * 32000,
+            )
+    if "beats-train" in wanted:
+        # Gated chain in TRAINING: fused-QKV gated forward kernel + jnp
+        # recompute backward vs the all-XLA step. (The gated cell has no
+        # VMEM backward kernel yet; this measures whether one is worth
+        # building — if the jnp-backward variant is already near parity,
+        # the backward savings seen on EAT would tip it positive.)
+        import flax.linen as nn
+        import jax.numpy as jnp
+
+        from avex_tpu.models.beats import BEATsBackbone, BEATsConfig
+
+        for flags in ({}, {"use_pallas": True, "fused_qkv": True}):
+            cfg = BEATsConfig(
+                dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+                encoder_layerdrop=0.0, dropout_input=0.0, **flags,
+            )
+
+            class _Clf(nn.Module):
+                @nn.compact
+                def __call__(self, wav):
+                    feats, _ = BEATsBackbone(cfg=cfg, dtype=jnp.bfloat16, name="backbone")(wav)
+                    return nn.Dense(10)(feats.astype(jnp.float32).mean(axis=1)), {}
+
+            measure_train(
+                f"beats_train_pallas={bool(flags)}",
+                _Clf(),
                 batch=int(os.environ.get("AVEX_AB_TRAIN_BATCH", "64")),
             )
     if "aves-train" in wanted:
