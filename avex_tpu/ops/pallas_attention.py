@@ -757,6 +757,172 @@ def _fused_qkv_gated_forward(
     )(qkv, qkv, qkv, pos_bias, gate_arr, pad_bias)
 
 
+def _fused_qkv_gated_bwd_kernel(
+    qkv_q_ref, qkv_k_ref, qkv_v_ref, bias_ref, gate_ref, pad_ref, dout_ref,
+    dq_ref, dk_ref, dv_ref, dbias_ref, dgate_ref, *, scale, head_dim
+):
+    """VMEM backward for the *gated* fused-QKV cell (the BEATs train chain).
+
+    Same flash-style recompute as ``_fused_qkv_bwd_kernel`` — P rebuilt
+    in-register from the qkv views, five MXU passes, no ``[T, T]`` HBM
+    traffic — extended with the gated-bias chain rule. With
+    ``L = qkᵀ·scale + gate ⊙ bias + pad`` and ``dL = P ∘ (dP − Δ)``:
+
+        dgate[t] = Σ_k bias[t,k]·dL[t,k],   dbias += gate ⊙ dL,
+        dQ = (dL·scale)·K,  dK = (dL·scale)ᵀ·Q,  dV = Pᵀ·dO
+
+    ``dbias`` is the cotangent of the SHARED T5 bias: it sums over the
+    batch, which spans grid steps. Its output block index depends only on
+    the head-group axis (outer), so the buffer stays resident across the
+    inner batch axis and accumulates with a ``pl.when`` init on the first
+    batch step (the TPU grid is sequential, so this is race-free).
+    """
+    nb = qkv_q_ref.shape[0]
+    width = qkv_q_ref.shape[-1]
+    heads_per_block = width // head_dim
+    first_batch_step = pl.program_id(1) == 0
+    for j in range(heads_per_block):  # static unroll over the head group
+        bias = bias_ref[j].astype(jnp.float32)  # [T, T], resident for the j-loop
+        sl = slice(j * head_dim, (j + 1) * head_dim)
+        dbias_acc = jnp.zeros_like(bias)
+        for i in range(nb):  # and over batch items
+            q = qkv_q_ref[i, :, sl]  # [T, dh] compute dtype
+            k = qkv_k_ref[i, :, sl]
+            v = qkv_v_ref[i, :, sl]
+            do = dout_ref[i, :, sl]
+            gate = gate_ref[i, j].astype(jnp.float32)  # [T, 1]
+            logits = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            logits = logits * scale + gate * bias
+            logits = logits + pad_ref[i].astype(jnp.float32)  # [1, T] over keys
+            p32 = jax.nn.softmax(logits, axis=-1)
+            p = p32.astype(v.dtype)
+            # dV = P^T dO  (contract over queries)
+            dv = jax.lax.dot_general(
+                p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dP = dO V^T
+            dp = jax.lax.dot_general(
+                do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            delta = jnp.sum(p32 * dp, axis=-1, keepdims=True)  # [T, 1]
+            dl = p32 * (dp - delta)  # pre-softmax logits cotangent, fp32
+            dgate_ref[i, j] = jnp.sum(bias * dl, axis=-1, keepdims=True).astype(
+                dgate_ref.dtype
+            )
+            dbias_acc = dbias_acc + gate * dl
+            ds = (dl * scale).astype(q.dtype)  # [T, T], qk-branch only
+            dq = jax.lax.dot_general(
+                ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dK = dS^T Q (contract over queries)
+            dk = jax.lax.dot_general(
+                ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dq_ref[i, :, sl] = dq.astype(dq_ref.dtype)
+            dk_ref[i, :, sl] = dk.astype(dk_ref.dtype)
+            dv_ref[i, :, sl] = dv.astype(dv_ref.dtype)
+
+        @pl.when(first_batch_step)
+        def _(j=j, acc=dbias_acc):
+            dbias_ref[j] = acc
+
+        @pl.when(jnp.logical_not(first_batch_step))
+        def _(j=j, acc=dbias_acc):
+            dbias_ref[j] = dbias_ref[j] + acc
+
+
+def _fused_qkv_gated_backward(
+    qkv, pos_bias, gate, key_padding_mask, dout, heads, scale, interpret, block_b
+):
+    """(dqkv, dbias, dgate) for the gated fused-QKV cell via the VMEM kernel."""
+    bsz, seq, three_e = qkv.shape
+    dim = three_e // 3
+    head_dim = dim // heads
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    hb = _heads_per_block(heads, head_dim)
+    if hb == 0:
+        if not interpret:
+            raise ValueError(
+                f"fused_qkv_gated_attention backward: head_dim {head_dim} x "
+                f"heads {heads} does not tile to 128 lanes"
+            )
+        hb = 1
+    while bsz % block_b:
+        block_b //= 2
+    nb = max(block_b, 1)
+    width = hb * head_dim
+    groups = heads // hb
+
+    if key_padding_mask is not None:
+        pad_bias = jnp.where(key_padding_mask, -jnp.inf, 0.0).astype(jnp.float32)[:, None, :]
+    else:
+        pad_bias = jnp.zeros((bsz, 1, seq), jnp.float32)
+    has_gate = gate is not None
+    if has_gate:
+        gate_arr = gate[..., None]  # [B, H, T, 1]
+    else:
+        gate_arr = jnp.ones((bsz, heads, seq, 1), qkv.dtype)
+
+    # head-groups OUTER, batch INNER: the [hb, T, T] bias block and the
+    # dbias accumulator stay resident across the whole batch sweep.
+    grid = (groups, bsz // nb)
+    # bias + dbias [hb, T, T] fp32 blocks + ~4 [T, T] temporaries on top of
+    # the 7 qkv/dout views — past Mosaic's 16 MB default well before the
+    # forward; the limit is a check, not an allocation.
+    compiler_params = None
+    if seq > 128:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20)
+
+    def _slice_spec(part):
+        return pl.BlockSpec(
+            (nb, seq, width),
+            lambda g, b, part=part: (b, 0, part * groups + g),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_view = pl.BlockSpec((nb, seq, width), lambda g, b: (b, 0, g), memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((hb, seq, seq), lambda g, b: (g, 0, 0), memory_space=pltpu.VMEM)
+    gate_spec = pl.BlockSpec(
+        (nb, hb, seq, 1), lambda g, b: (b, g, 0, 0), memory_space=pltpu.VMEM
+    )
+    pad_spec = pl.BlockSpec((nb, 1, seq), lambda g, b: (b, 0, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv, dbias, dgate = pl.pallas_call(
+        functools.partial(_fused_qkv_gated_bwd_kernel, scale=scale, head_dim=head_dim),
+        grid=grid,
+        in_specs=[
+            _slice_spec(0),
+            _slice_spec(1),
+            _slice_spec(2),
+            bias_spec,
+            gate_spec,
+            pad_spec,
+            out_view,
+        ],
+        out_specs=[out_view, out_view, out_view, bias_spec, gate_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, seq, dim), qkv.dtype),
+            jax.ShapeDtypeStruct((bsz, seq, dim), qkv.dtype),
+            jax.ShapeDtypeStruct((bsz, seq, dim), qkv.dtype),
+            jax.ShapeDtypeStruct((heads, seq, seq), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, heads, seq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=compiler_params,
+    )(qkv, qkv, qkv, pos_bias, gate_arr, pad_bias, dout)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    dbias = dbias.astype(pos_bias.dtype)
+    dgate_out = dgate[..., 0].astype(gate.dtype) if has_gate else None
+    return dqkv, dbias, dgate_out
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _fused_qkv_gated_attention(
     qkv, pos_bias, gate, key_padding_mask, heads, scale, interpret, block_b
@@ -773,23 +939,32 @@ def _fused_qkv_gated_fwd(qkv, pos_bias, gate, key_padding_mask, heads, scale, in
     return out, (qkv, pos_bias, gate, key_padding_mask)
 
 
-def _fused_qkv_gated_bwd(heads, scale, _interpret, _block_b, residuals, g):
+def _fused_qkv_gated_bwd(heads, scale, interpret, block_b, residuals, g):
     qkv, pos_bias, gate, key_padding_mask = residuals
     has_gate = gate is not None
+    import os
 
-    def ref(qkv, pos_bias, gate):
-        return _fused_qkv_gated_reference(
-            qkv, heads, pos_bias, gate if has_gate else None, key_padding_mask, scale
+    if os.environ.get("AVEX_FUSED_BWD_XLA") == "1":
+        # Escape hatch: the pre-round-5c jnp recompute backward (XLA path).
+        def ref(qkv, pos_bias, gate):
+            return _fused_qkv_gated_reference(
+                qkv, heads, pos_bias, gate if has_gate else None, key_padding_mask, scale
+            )
+
+        _, vjp = jax.vjp(ref, qkv, pos_bias, gate if has_gate else jnp.zeros(()))
+        dqkv, dbias, dgate = vjp(g)
+        if not has_gate:
+            dgate = None
+    else:
+        dqkv, dbias, dgate = _fused_qkv_gated_backward(
+            qkv, pos_bias, gate, key_padding_mask, g, heads, scale, interpret, block_b
         )
-
-    _, vjp = jax.vjp(ref, qkv, pos_bias, gate if has_gate else jnp.zeros(()))
-    dqkv, dbias, dgate = vjp(g)
     dmask = (
         None
         if key_padding_mask is None
         else np.zeros(key_padding_mask.shape, dtype=jax.dtypes.float0)
     )
-    return (dqkv, dbias, dgate if has_gate else None, dmask)
+    return (dqkv, dbias, dgate, dmask)
 
 
 _fused_qkv_gated_attention.defvjp(_fused_qkv_gated_fwd, _fused_qkv_gated_bwd)

@@ -226,6 +226,50 @@ def main() -> None:
             ),
             flush=True,
         )
+    if "gated-grad-check" in wanted:
+        # On-chip numerics for the GATED VMEM backward kernel vs the jnp
+        # recompute backward, BEATs shape (12 heads, dh=64, T=248), bf16.
+        import jax
+        import jax.numpy as jnp
+
+        from avex_tpu.ops.pallas_attention import fused_qkv_gated_attention
+
+        b, seq, heads, dh = 4, 248, 12, 64
+        rng = np.random.default_rng(0)
+        qkv = jnp.asarray(
+            (rng.standard_normal((b, seq, 3 * heads * dh)) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        pos_bias = jnp.asarray(
+            (rng.standard_normal((heads, seq, seq)) * 0.1).astype(np.float32)
+        )
+        gate = jnp.asarray(
+            (rng.uniform(1.0, 3.0, (b, heads, seq))).astype(np.float32)
+        )
+        w = jnp.asarray(
+            (rng.standard_normal((b, seq, heads * dh)) * 0.1).astype(np.float32)
+        ).astype(jnp.bfloat16)
+
+        def loss(x, pb, gt):
+            out = fused_qkv_gated_attention(x, heads=heads, pos_bias=pb, gate=gt)
+            return (out.astype(jnp.float32) * w).sum()
+
+        grads_k = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qkv, pos_bias, gate)
+        os.environ["AVEX_FUSED_BWD_XLA"] = "1"
+        grads_r = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qkv, pos_bias, gate)
+        del os.environ["AVEX_FUSED_BWD_XLA"]
+        for name, gk, gr in zip(("dqkv", "dbias", "dgate"), grads_k, grads_r):
+            gk = gk.astype(jnp.float32)
+            gr = gr.astype(jnp.float32)
+            num = float(jnp.max(jnp.abs(gk - gr)))
+            den = float(jnp.max(jnp.abs(gr)))
+            print(
+                json.dumps(
+                    {"variant": f"gated_grad_check_T248_bf16_{name}",
+                     "max_abs_diff": num, "ref_max_abs": den,
+                     "rel": num / max(den, 1e-30)}
+                ),
+                flush=True,
+            )
     if "eat-train" in wanted:
         import jax.numpy as jnp
 

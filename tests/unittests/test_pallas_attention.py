@@ -369,6 +369,59 @@ def test_fused_qkv_gated_gradients_match_xla(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4)
 
 
+def test_fused_qkv_gated_backward_kernel_accumulation(rng):
+    """VMEM gated backward: dbias sums over batch grid steps (block_b=1 ->
+    4 sequential revisits of the accumulator block), with a padding mask,
+    weighted cotangent, and multi-head groups."""
+    from avex_tpu.ops.pallas_attention import fused_qkv_gated_attention
+
+    b, seq, heads, dh = 4, 12, 4, 8
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((heads, seq, seq)).astype(np.float32))
+    gate = jnp.asarray(rng.uniform(1.0, 3.0, (b, heads, seq)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((b, seq, heads * dh)).astype(np.float32))
+    pad = np.zeros((b, seq), bool)
+    pad[2, 9:] = True
+    pad = jnp.asarray(pad)
+
+    def loss_k(qkv, pos_bias, gate):
+        out = fused_qkv_gated_attention(
+            qkv, heads=heads, pos_bias=pos_bias, gate=gate,
+            key_padding_mask=pad, interpret=True, block_b=1,
+        )
+        return (out * w).sum()
+
+    def loss_r(qkv, pos_bias, gate):
+        return (_fused_gated_ref(qkv, heads, pos_bias, gate, pad=pad) * w).sum()
+
+    got = jax.grad(loss_k, argnums=(0, 1, 2))(qkv, pos_bias, gate)
+    want = jax.grad(loss_r, argnums=(0, 1, 2))(qkv, pos_bias, gate)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4)
+
+
+def test_fused_qkv_gated_backward_kernel_no_gate(rng):
+    """gate=None: dbias is the plain summed cotangent and dgate is absent."""
+    from avex_tpu.ops.pallas_attention import fused_qkv_gated_attention
+
+    b, seq, heads, dh = 2, 8, 2, 8
+    qkv = jnp.asarray(rng.standard_normal((b, seq, 3 * heads * dh)).astype(np.float32))
+    pos_bias = jnp.asarray(rng.standard_normal((heads, seq, seq)).astype(np.float32))
+
+    def loss_k(qkv, pos_bias):
+        return fused_qkv_gated_attention(
+            qkv, heads=heads, pos_bias=pos_bias, interpret=True, block_b=1
+        ).sum()
+
+    def loss_r(qkv, pos_bias):
+        return _fused_gated_ref(qkv, heads, pos_bias).sum()
+
+    got = jax.grad(loss_k, argnums=(0, 1))(qkv, pos_bias)
+    want = jax.grad(loss_r, argnums=(0, 1))(qkv, pos_bias)
+    for a, b_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4)
+
+
 def test_beats_attention_fused_kernel_routing(rng, monkeypatch):
     """fused_qkv=True + use_pallas=True routes the RAW [B, T, 3E] gemm output
     to the fused gated kernel and matches the split XLA path (same params)."""
