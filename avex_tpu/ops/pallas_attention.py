@@ -28,19 +28,24 @@ v3 design notes (what the 0.66x round-2 version got wrong):
   for the PV matmul — numerically at least as accurate as the XLA
   ``fast_attention`` path (which runs the whole logits chain in bf16).
 
-The wrappers are differentiable. The split-input and gated variants use a
+The wrappers are differentiable. The split-input variant uses a
 ``custom_vjp`` that recomputes the backward through the mathematically
-identical jnp formulation (the standard XLA path). The fused-QKV bias-free
-variant got its own **VMEM backward kernel** in round 5b
-(``_fused_qkv_bwd_kernel``): the jnp recompute backward measured a 24%
-EAT train-step REGRESSION (the recomputed ``[B,H,T,T]`` P and its
-cotangents stream through HBM — XLA's own autodiff at least *saves* P),
-while the flash-style cell — P recomputed in-register, then
+identical jnp formulation (the standard XLA path). The fused-QKV variants
+got their own **VMEM backward kernels** (rounds 5b/5c,
+``_fused_qkv_bwd_kernel`` / ``_fused_qkv_gated_bwd_kernel``): the jnp
+recompute backward measured a 24% EAT train-step REGRESSION (the
+recomputed ``[B,H,T,T]`` P and its cotangents stream through HBM — XLA's
+own autodiff at least *saves* P), while the flash-style cell — P
+recomputed in-register, then
 ``dV = Pᵀ dO, dP = dO Vᵀ, dS = P∘(dP−Δ), dQ = dS K, dK = dSᵀ Q`` as five
 MXU passes with zero ``[T,T]`` HBM traffic — flips a full EAT AdamW step
 to **+44% vs XLA** (341 vs 237 clips/s, B=64/T=513; neutral at T=249;
 on-chip bf16 grad parity 3.8e-3; ``AVEX_FUSED_BWD_XLA=1`` restores the
-jnp backward).
+jnp backward). The GATED backward kernel (adds ``dgate``/``dbias``, the
+latter accumulated across the batch grid axis) is numerically proven
+(on-chip rel ~2.1e-3) but does NOT flip BEATs training — XLA 607 vs 516
+clips/s at B=64/T=248 (0.85x), the same verdict as gated inference — so
+it stays a pinned best-known-variant and ``fused_qkv`` remains opt-in.
 
 Measured crossover on v5e (rounds 3-4, bf16, H=12/D=64, constant B*T,
 ``scripts/bench_attention.py --dtype bfloat16``; "flash" is JAX's stock TPU
